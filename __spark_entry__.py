@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship TPC-H Q1-shaped query at sf0.001 (smoke).
+``queries()`` / ``oracle_sql()`` — the registry from
+``dask_expr_rapids_spark.queries``: one named query per implemented operator
+family from SURVEY.md §2, each with a DuckDB-runnable ANSI-SQL twin whose
+column names match the Spark result exactly.
 """
 
 from __future__ import annotations
@@ -13,26 +13,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dask_expr_rapids_spark.queries import oracle_sql as _oracle_sql_fn
+from dask_expr_rapids_spark.queries import queries as _queries_fn
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from dask_expr_rapids_spark.queries.relational import q01_pricing_summary
+
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries_fn()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _oracle_sql_fn()

@@ -1,0 +1,18 @@
+"""Named query registry — the driver-facing surface.
+
+Every operator from SURVEY.md §2 is exercised by at least one named query
+here; each query carries an ANSI-SQL twin the DuckDB oracle runs on the same
+parquet tables (driver contract in ``/root/repo/__spark_entry__.py``).
+
+Import order matters only for registration side effects.
+"""
+
+from .registry import REGISTRY, Query, register, queries, oracle_sql
+
+from . import relational  # noqa: E402,F401
+from . import aggregates  # noqa: E402,F401
+from . import window  # noqa: E402,F401
+from . import text  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "Query", "register", "queries", "oracle_sql"]

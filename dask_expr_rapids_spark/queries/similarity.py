@@ -1,0 +1,154 @@
+"""Similarity search over the `embeddings` table (array<float> column) —
+LLM-data pipeline extension (SURVEY.md §7 phase 4).
+
+Determinism strategy: float32 components are quantized to 1e-6 integers
+(``round(x * 1e6) → bigint``) before any accumulation.  Integer sums are
+exact and order-independent, so Spark and the DuckDB oracle agree
+bit-for-bit regardless of shuffle order.  (Casting raw doubles to
+high-scale decimals is NOT portable: Spark converts via shortest-repr
+BigDecimal, DuckDB via scaled double multiply — they disagree in the last
+ulps.)  Quantized cosine differs from float cosine by < 1e-5 relative —
+irrelevant for retrieval semantics and documented as the operator contract.
+
+Scale path: the probe set is broadcast; the corpus streams through one
+narrow projection + explode; top-k per probe is a windowed rank after a
+partial aggregation.  No corpus shuffle.  An IVF-style two-stage variant
+(route to nearest centroid, search within cluster) is provided in
+operators/similarity.py for the 100 TB posture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+_DIM = 64
+_N_QUERIES = 5  # vec_id < 5 are the probe vectors
+_TOPK = 5
+_Q = 1_000_000  # quantization scale: 1e-6 resolution
+
+#: DuckDB-side quantized element accessor (1-based list index, 0-based u).
+_QELEM = "CAST(round(CAST({v}.embedding[CAST(u AS INT) + 1] AS DOUBLE) * 1000000, 0) AS BIGINT)"
+
+
+def _qelem(col):
+    """Spark-side quantized element: exact for float32 inputs (float→double
+    exact, *1e6 IEEE-identical, half-away-from-zero round in both engines)."""
+    return F.round(col.cast("double") * _Q, 0).cast("long")
+
+
+_NORMS_SQL = f"""
+    norms AS (
+      SELECT vec_id,
+             SUM({_QELEM.format(v='e')} * {_QELEM.format(v='e')}) AS nrm2
+      FROM (SELECT vec_id, embedding, unnest(range({_DIM})) AS u
+            FROM embeddings) e
+      GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "ann_bruteforce_cosine_topk",
+    f"""
+    WITH {_NORMS_SQL},
+    dots AS (
+      SELECT q.vec_id AS qid, e.vec_id AS nid,
+             SUM({_QELEM.format(v='q')} * {_QELEM.format(v='e')}) AS dot
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}) q
+      JOIN embeddings e ON e.vec_id <> q.vec_id
+      CROSS JOIN (SELECT unnest(range({_DIM})) AS u) u
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT d.qid, d.nid,
+             CAST(d.dot AS DOUBLE) / (sqrt(CAST(nq.nrm2 AS DOUBLE))
+                                      * sqrt(CAST(ne.nrm2 AS DOUBLE))) AS cosine
+      FROM dots d
+      JOIN norms nq ON d.qid = nq.vec_id
+      JOIN norms ne ON d.nid = ne.vec_id
+    )
+    SELECT qid, nid,
+           (CAST(floor(cosine * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, nid) AS rn
+          FROM sims) t
+    WHERE rn <= {_TOPK}
+    """,
+)
+def ann_bruteforce_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: the exact baseline every ANN variant is
+    measured against.  Probe set broadcast; corpus streamed."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = F.transform("embedding", lambda x: _qelem(x))
+    quant = e.select("vec_id", qvec.alias("qv"))
+    norms = (
+        quant.select("vec_id", F.explode("qv").alias("x"))
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("x")).alias("nrm2"))
+    )
+    probes = quant.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qe")
+    )
+    pairs = quant.join(F.broadcast(probes), F.col("vec_id") != F.col("qid"))
+    dots = (
+        pairs.select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.explode(F.zip_with("qe", "qv", lambda x, y: x * y)).alias("p"),
+        )
+        .groupBy("qid", "nid")
+        .agg(F.sum("p").alias("dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("qid"), F.col("nrm2").alias("nrm2_q"))
+    ne = norms.select(F.col("vec_id").alias("nid"), F.col("nrm2").alias("nrm2_n"))
+    sims = (
+        dots.join(F.broadcast(nq), "qid")
+        .join(ne, "nid")
+        .select(
+            "qid",
+            "nid",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("nrm2_q").cast("double")) * F.sqrt(F.col("nrm2_n").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+    from ..functions.exact import pround
+
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("qid", "nid", pround(F.col("cosine"), 6).alias("cosine"))
+    )
+
+
+@register(
+    "embedding_centroids",
+    f"""
+    SELECT label, CAST(u AS INT) AS pos,
+           CAST(SUM({_QELEM.format(v='e')}) AS DOUBLE)
+             / (1000000.0 * CAST(COUNT(*) AS DOUBLE)) AS centroid
+    FROM (SELECT label, embedding, unnest(range({_DIM})) AS u FROM embeddings) e
+    GROUP BY label, CAST(u AS INT)
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid vector (exploded form) — the building block of
+    IVF coarse quantization / k-means mean updates at scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(_qelem(F.col("x"))).cast("double")
+                / (F.lit(float(_Q)) * F.count(F.lit(1)).cast("double"))
+            ).alias("centroid")
+        )
+        .select("label", F.col("pos").cast("int").alias("pos"), "centroid")
+    )

@@ -1,0 +1,336 @@
+"""Text analysis + deduplication queries over `documents` — the LLM-data
+pipeline extensions (beyond the reference surface, which has only a pandas
+str accessor ``/root/reference/dask_expr/_str_accessor.py``).
+
+All Spark-side logic is pure ``pyspark.sql.functions`` (JVM codegen, no
+UDFs).  Hash functions are MD5 so the DuckDB oracle reproduces them exactly.
+
+Scale notes (100 TB posture):
+* exact dedup = hash-groupBy on a fingerprint — one shuffle of (fp, id).
+* near-dup = MinHash + LSH banding: k=12 min-hashes, 3 bands x 4 rows.
+  Candidate generation is a self-join on band keys (bucket join, tiny
+  buckets); only candidates get the exact jaccard verification join.
+  This is the standard sub-quadratic pipeline (Broder '97); the naive
+  all-pairs gram join would be O(n^2) and is deliberately avoided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    EN_STOPWORDS,
+    english_score,
+    fingerprint,
+    punct_chars,
+    quality_score,
+    token_count,
+    word_chars,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+# SQL fragments mirroring functions/text.py exactly.
+_TOKN_SQL = r"""CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""
+_HITS_SQL = (
+    r"len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), "
+    f"x -> list_contains({_STOPLIST_SQL}, x)))"
+)
+_ALPHA_SQL = "len(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+_PUNCT_SQL = """len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))"""
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+# --------------------------------------------------------------------------
+# Per-document stats: token counting + character classes.
+# --------------------------------------------------------------------------
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           {_TOKN_SQL} AS n_tokens,
+           {_ALPHA_SQL} AS n_alpha,
+           {_PUNCT_SQL} AS n_punct,
+           upper(source) AS source_uc,
+           substr(text, 1, 20) AS preview
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars_actual"),
+        token_count(t).alias("n_tokens"),
+        word_chars(t).alias("n_alpha"),
+        punct_chars(t).alias("n_punct"),
+        F.upper("source").alias("source_uc"),
+        F.substring(t, 1, 20).alias("preview"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID (stopword-ratio heuristic) — confusion matrix vs the labeled
+# `lang` column.
+# --------------------------------------------------------------------------
+@register(
+    "lang_id_confusion",
+    f"""
+    SELECT lang,
+           CASE WHEN CASE WHEN {_TOKN_SQL} = 0 THEN 0.0
+                     ELSE CAST({_HITS_SQL} AS DOUBLE) / CAST({_TOKN_SQL} AS DOUBLE) END
+                     >= 0.04
+                THEN 'en' ELSE 'other' END AS pred,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pred = F.when(english_score(F.col("text")) >= 0.04, "en").otherwise("other")
+    return d.groupBy("lang", pred.alias("pred")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: alphabetic density + length factor - punctuation spam.
+# --------------------------------------------------------------------------
+@register(
+    "text_quality_by_source",
+    f"""
+    WITH scored AS (
+      SELECT source,
+             (CAST(floor(greatest(0.0, least(1.0,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST({_ALPHA_SQL} AS DOUBLE) / CAST(length(text) AS DOUBLE) END
+                 * 0.7
+               + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+               - CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST({_PUNCT_SQL} AS DOUBLE) / CAST(length(text) AS DOUBLE) END
+             )) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS q
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(CAST(q AS DECIMAL(30,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_quality,
+           MIN(q) AS min_quality,
+           MAX(q) AS max_quality,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY source
+    """,
+)
+def text_quality_by_source(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("source", quality_score(F.col("text")).alias("q"))
+    return scored.groupBy("source").agg(
+        (
+            F.sum(F.col("q").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_quality"),
+        F.min("q").alias("min_quality"),
+        F.max("q").alias("max_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: MD5 fingerprint of normalized text, keep-min-id per cluster.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_clusters",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fp,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_clusters(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_exact_summary",
+    f"""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5({_NORM_SQL})) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5({_NORM_SQL})) AS n_exact_dups
+    FROM documents
+    """,
+)
+def dedup_exact_summary(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_exact_dups"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup detection, exact-jaccard verification on candidates.
+#
+# Shingles: distinct char 5-grams of normalized text.  Hash family:
+# h_j(g) = md5(j || '|' || g) compared lexicographically (a uniform hash
+# family; MD5 makes both engines agree).  Signature = 12 min-hashes; bands
+# of 4 rows -> 3 band keys; docs sharing any band key are candidates.
+# --------------------------------------------------------------------------
+_K = 12
+_ROWS_PER_BAND = 4
+_NGRAM = 5
+
+_GRAMS_SQL = f"""
+  norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+  grams AS (
+    SELECT DISTINCT doc_id, substr(t, CAST(u AS INT), {_NGRAM}) AS g
+    FROM (SELECT doc_id, t,
+                 unnest(range(1, greatest(len(t) - {_NGRAM - 1}, 1) + 1)) AS u
+          FROM norm)
+  )
+"""
+
+_MINHASH_COLS_SQL = ",\n           ".join(
+    f"MIN(md5('{j}|' || g)) AS h{j}" for j in range(_K)
+)
+_BAND_KEYS_SQL = ", ".join(
+    "md5('{b}|' || {parts})".format(
+        b=b,
+        parts=" || '|' || ".join(f"h{j}" for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)),
+    )
+    + f" AS band{b}"
+    for b in range(_K // _ROWS_PER_BAND)
+)
+_BAND_UNION_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, band{b} AS bkey FROM sigs" for b in range(_K // _ROWS_PER_BAND)
+)
+
+_NEARDUP_SQL = f"""
+    WITH {_GRAMS_SQL},
+    mh AS (
+      SELECT doc_id,
+           {_MINHASH_COLS_SQL}
+      FROM grams GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {_BAND_KEYS_SQL} FROM mh),
+    bands AS (
+{_BAND_UNION_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    verified AS (
+      SELECT c.id1, c.id2, COUNT(*) AS shared
+      FROM cand c
+      JOIN grams g1 ON g1.doc_id = c.id1
+      JOIN grams g2 ON g2.doc_id = c.id2 AND g2.g = g1.g
+      GROUP BY c.id1, c.id2
+    )
+    SELECT v.id1, v.id2,
+           (CAST(floor(CAST(v.shared AS DOUBLE)
+                 / CAST(s1.n + s2.n - v.shared AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+             / 1000000.0) AS jaccard
+    FROM verified v
+    JOIN sizes s1 ON v.id1 = s1.doc_id
+    JOIN sizes s2 ON v.id2 = s2.doc_id
+    WHERE CAST(v.shared AS DOUBLE) / CAST(s1.n + s2.n - v.shared AS DOUBLE) >= 0.2
+"""
+
+
+@register("dedup_neardup_minhash_lsh", _NEARDUP_SQL)
+def dedup_neardup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-duplicate pairs with exact-jaccard verification.
+
+    Plan shape at scale: one explode to grams (distinct within doc), one
+    groupBy(doc) computing all 12 min-hashes map-side (partial agg), a
+    narrow bands table, a bucket self-join on band key (tiny buckets), and
+    an exact verification join restricted to candidates.  No O(n^2) stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    grams = (
+        d.select("doc_id", norm.alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.length("t") < _NGRAM, F.array(F.col("t"))
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("t") - (_NGRAM - 1)),
+                        lambda i: F.col("t").substr(i, F.lit(_NGRAM)),
+                    )
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    mh = grams.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("g")))).alias(f"h{j}") for j in range(_K)]
+    )
+    n_bands = _K // _ROWS_PER_BAND
+    sigs = mh.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col(f"h{j}") for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)],
+                )
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ],
+    )
+    bands = None
+    for b in range(n_bands):
+        part = sigs.select("doc_id", F.col(f"band{b}").alias("bkey"))
+        bands = part if bands is None else bands.unionByName(part)
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(bb, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    g1 = grams.select(F.col("doc_id").alias("id1"), F.col("g"))
+    g2 = grams.select(F.col("doc_id").alias("id2"), F.col("g"))
+    verified = (
+        cand.join(g1, "id1")
+        .join(g2, ["id2", "g"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    jac = F.col("shared").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("shared")
+    ).cast("double")
+    from ..functions.exact import pround
+
+    return (
+        verified.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(jac >= 0.2)
+        .select("id1", "id2", pround(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MD5 band-key format is shared by the SQL twin above; the SQL uses
+# concat with '|' separators via md5('b|' || h0 || '|' || h1 ...), while the
+# Spark side uses concat_ws('|', 'b', h0, ...).  Both produce 'b|h0|h1|h2|h3'.
+# --------------------------------------------------------------------------

@@ -1,0 +1,12 @@
+from .tables import TABLES, load_table, load_tables, read_csv, read_parquet, to_parquet, from_pandas, timeseries
+
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "read_csv",
+    "read_parquet",
+    "to_parquet",
+    "from_pandas",
+    "timeseries",
+]

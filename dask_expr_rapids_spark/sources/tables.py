@@ -1,0 +1,129 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+Reference parity map (citations into /root/reference):
+
+* ``ReadParquet`` (``dask_expr/io/parquet.py:398-669``): row-group splitting,
+  stats-based planning, column projection — all native in
+  ``spark.read.parquet`` (FileSourceScanExec does row-group pruning, predicate
+  pushdown, schema pruning in the driver).
+* ``ReadCSV`` (``dask_expr/io/csv.py:8-66``) → ``spark.read.csv``.
+* ``FromPandas`` (``dask_expr/io/io.py:302-419``) → ``spark.createDataFrame``
+  (Arrow-accelerated).
+* ``ToParquet`` (``dask_expr/io/parquet.py:90-395``) → ``df.write.parquet``
+  with ``mode``/``partitionBy`` (reference ``partition_on``,
+  ``io/parquet.py:204-213``).
+* ``Timeseries`` (``dask_expr/datasets.py:13-241``) → ``spark.range`` +
+  deterministic column generators, fully JVM-side (no Python in the loop).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Parquet scan; column pruning expressed declaratively so Catalyst pushes
+    the projection into the scan (``ReadSchema`` in ``.explain``)."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    schema=None,
+    **options,
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def to_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_on: list[str] | None = None,
+    compression: str = "snappy",
+) -> None:
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_on:
+        writer = writer.partitionBy(*partition_on)
+    writer.parquet(path)
+
+
+def from_pandas(spark: SparkSession, pdf: pd.DataFrame, npartitions: int | None = None) -> DataFrame:
+    df = spark.createDataFrame(pdf)
+    return df.repartition(npartitions) if npartitions else df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS) → read as ns-longs
+    # (legacy.parquet.nanosAsLong) and floor-converted to a microsecond
+    # timestamp, matching DuckDB's CAST(ts_ns AS TIMESTAMP) truncation.
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def timeseries(
+    spark: SparkSession,
+    start: str = "2024-01-01",
+    n_rows: int = 604_800,
+    freq_seconds: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Synthetic timeseries source (reference ``Timeseries``,
+    ``dask_expr/datasets.py:13-241``): timestamp grid + name/id/x/y columns.
+
+    Entirely JVM-side: ``spark.range`` scales to any row count across
+    executors; ``F.rand/randn(seed)`` are per-partition-seeded exactly like
+    the reference's per-partition RNG state (``datasets.py:160-170``).
+    """
+    names = F.array(*[F.lit(n) for n in (
+        "Alice", "Bob", "Charlie", "Dan", "Edith", "Frank", "George",
+        "Hannah", "Ingrid", "Jerry", "Kevin", "Laura", "Michael", "Norbert",
+        "Oliver", "Patricia", "Quinn", "Ray", "Sarah", "Tim", "Ursula",
+        "Victor", "Wendy", "Xavier", "Yvonne", "Zelda",
+    )])
+    return (
+        spark.range(n_rows)
+        .select(
+            F.timestamp_seconds(
+                F.unix_timestamp(F.lit(start).cast("timestamp")) + F.col("id") * freq_seconds
+            ).alias("timestamp"),
+            names.getItem((F.rand(seed) * 26).cast("int")).alias("name"),
+            (F.round(F.randn(seed + 1) * 31.6) + 1000).cast("long").alias("id"),
+            (F.rand(seed + 2) * 2 - 1).alias("x"),
+            (F.rand(seed + 3) * 2 - 1).alias("y"),
+        )
+    )
