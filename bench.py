@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Protocol (BASELINE.md): warm SparkSession, per-query wall clock =
+median of 3 runs after 1 warm-up.  ``value`` is the sum of per-query
+medians (sec) — lower is better.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dask_expr_rapids_spark.queries import REGISTRY  # noqa: E402
+from dask_expr_rapids_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # relational core
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "groupby_multi_agg",
+    # window / time-series
+    "resample_hourly_events",
+    "rolling_mean_7",
+    "cumsum_user_value",
+    # LLM-data extensions
+    "dedup_exact_clusters",
+    "dedup_neardup_minhash_lsh",
+    "text_quality_by_source",
+    "ann_bruteforce_cosine_topk",
+]
+
+N_RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false", "spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        fn(spark, sf_dir).count()  # warm-up (also primes file listing cache)
+        times = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+        results[name] = round(statistics.median(times), 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sum_of_median_query_seconds",
+                "value": round(sum(results.values()), 4),
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

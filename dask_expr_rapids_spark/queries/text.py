@@ -220,7 +220,9 @@ _NEARDUP_SQL = f"""
     WITH {_GRAMS_SQL},
     mh AS (
       SELECT doc_id,
-           {_MINHASH_COLS_SQL}
+           {_MINHASH_COLS_SQL},
+           COUNT(*) AS n,
+           list(g) AS gset
       FROM grams GROUP BY doc_id
     ),
     sigs AS (SELECT doc_id, {_BAND_KEYS_SQL} FROM mh),
@@ -231,22 +233,20 @@ _NEARDUP_SQL = f"""
       SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
     verified AS (
-      SELECT c.id1, c.id2, COUNT(*) AS shared
+      SELECT c.id1, c.id2,
+             len(list_intersect(m1.gset, m2.gset)) AS shared,
+             m1.n AS n1, m2.n AS n2
       FROM cand c
-      JOIN grams g1 ON g1.doc_id = c.id1
-      JOIN grams g2 ON g2.doc_id = c.id2 AND g2.g = g1.g
-      GROUP BY c.id1, c.id2
+      JOIN mh m1 ON c.id1 = m1.doc_id
+      JOIN mh m2 ON c.id2 = m2.doc_id
     )
-    SELECT v.id1, v.id2,
-           (CAST(floor(CAST(v.shared AS DOUBLE)
-                 / CAST(s1.n + s2.n - v.shared AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+    SELECT id1, id2,
+           (CAST(floor(CAST(shared AS DOUBLE)
+                 / CAST(n1 + n2 - shared AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
              / 1000000.0) AS jaccard
-    FROM verified v
-    JOIN sizes s1 ON v.id1 = s1.doc_id
-    JOIN sizes s2 ON v.id2 = s2.doc_id
-    WHERE CAST(v.shared AS DOUBLE) / CAST(s1.n + s2.n - v.shared AS DOUBLE) >= 0.2
+    FROM verified
+    WHERE CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) >= 0.2
 """
 
 
@@ -276,11 +276,19 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
                 )
             ).alias("g"),
         )
-        .distinct()
     )
+    # One shuffle computes the signature, the gram set (for candidate
+    # verification) and its size — min/collect_set are duplicate-insensitive
+    # so no separate distinct() shuffle is needed, and downstream joins are
+    # all on n_docs-sized relations, never on exploded gram rows.  Docs are
+    # length-bounded, so collect_set stays small; for unbounded docs cap the
+    # shingle count upstream.  Persisted: three consumers (bands self-join,
+    # both sides of verification) would otherwise recompute the lineage.
     mh = grams.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("g")))).alias(f"h{j}") for j in range(_K)]
-    )
+        *[F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("g")))).alias(f"h{j}") for j in range(_K)],
+        F.collect_set("g").alias("gset"),
+    ).withColumn("n", F.size("gset"))
+    mh = mh.persist()
     n_bands = _K // _ROWS_PER_BAND
     sigs = mh.select(
         "doc_id",
@@ -305,27 +313,24 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    g1 = grams.select(F.col("doc_id").alias("id1"), F.col("g"))
-    g2 = grams.select(F.col("doc_id").alias("id2"), F.col("g"))
-    verified = (
-        cand.join(g1, "id1")
-        .join(g2, ["id2", "g"])
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    m1 = mh.select(
+        F.col("doc_id").alias("id1"), F.col("n").alias("n1"), F.col("gset").alias("gset1")
     )
-    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    m2 = mh.select(
+        F.col("doc_id").alias("id2"), F.col("n").alias("n2"), F.col("gset").alias("gset2")
+    )
+    verified = (
+        cand.join(m1, "id1")
+        .join(m2, "id2")
+        .withColumn("shared", F.size(F.array_intersect("gset1", "gset2")))
+    )
     jac = F.col("shared").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("shared")
     ).cast("double")
     from ..functions.exact import pround
 
-    return (
-        verified.join(s1, "id1")
-        .join(s2, "id2")
-        .filter(jac >= 0.2)
-        .select("id1", "id2", pround(jac, 6).alias("jaccard"))
+    return verified.filter(jac >= 0.2).select(
+        "id1", "id2", pround(jac, 6).alias("jaccard")
     )
 
 
