@@ -1,0 +1,292 @@
+"""Differential tests for the pandas-semantics facade: same op eagerly in
+pandas vs through SparkFrame, compared with pandas testing utilities —
+the reference's own methodology (SURVEY.md §5: assert_eq vs pandas oracle,
+fixture from tests/test_collection.py:37-46 — {x: range(N), y: x // 7})."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pandas.testing as pdt
+import pytest
+
+from dask_expr_rapids_spark.operators import SparkFrame
+
+N = 100
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    return pd.DataFrame(
+        {
+            "x": np.arange(N, dtype="int64"),
+            "y": np.arange(N, dtype="int64") // 7,
+            "z": np.linspace(-1.0, 1.0, N),
+            "s": [f"Aa_{i % 5}" for i in range(N)],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def sf(spark, pdf):
+    return SparkFrame.from_pandas(spark, pdf, npartitions=4)
+
+
+def eq_frame(sf_result, pd_result, **kw):
+    got = sf_result.to_pandas() if isinstance(sf_result, SparkFrame) else sf_result
+    got = got[pd_result.columns]
+    pdt.assert_frame_equal(got, pd_result, check_dtype=False, **kw)
+
+
+def eq_series(sp_result, pd_result):
+    got = sp_result.to_pandas()
+    pdt.assert_series_equal(got, pd_result, check_dtype=False, check_names=False)
+
+
+def test_projection(sf, pdf):
+    eq_frame(sf[["x", "y"]], pdf[["x", "y"]])
+
+
+def test_filter_mask(sf, pdf):
+    eq_frame(sf[sf["y"] > 5], pdf[pdf.y > 5])
+
+
+def test_elemwise_arith(sf, pdf):
+    got = sf.assign(w=sf["x"] * 2 + sf["y"] - 1)
+    eq_frame(got, pdf.assign(w=pdf.x * 2 + pdf.y - 1))
+
+
+def test_floordiv_mod_pow(sf, pdf):
+    got = sf.assign(a=sf["x"] // 7, b=sf["x"] % 5, c=(sf["y"] + 1) ** 2)
+    eq_frame(got, pdf.assign(a=pdf.x // 7, b=pdf.x % 5, c=(pdf.y + 1) ** 2))
+
+
+def test_clip_abs_between_isin(sf, pdf):
+    got = sf.assign(
+        a=sf["z"].abs(), b=sf["x"].clip(10, 50),
+        c=sf["x"].between(10, 20), d=sf["y"].isin([1, 3]),
+    )
+    eq_frame(
+        got,
+        pdf.assign(
+            a=pdf.z.abs(), b=pdf.x.clip(10, 50),
+            c=pdf.x.between(10, 20), d=pdf.y.isin([1, 3]),
+        ),
+    )
+
+
+def test_where_mask(sf, pdf):
+    got = sf.assign(w=sf["x"].where(sf["x"] > 50, other=-1))
+    eq_frame(got, pdf.assign(w=pdf.x.where(pdf.x > 50, other=-1)))
+
+
+def test_scalar_reductions(sf, pdf):
+    assert sf["x"].sum() == pdf.x.sum()
+    assert sf["x"].mean() == pytest.approx(pdf.x.mean())
+    assert sf["x"].min() == pdf.x.min()
+    assert sf["x"].max() == pdf.x.max()
+    assert sf["y"].nunique() == pdf.y.nunique()
+    assert sf["z"].std() == pytest.approx(pdf.z.std())
+    assert sf["z"].var(ddof=0) == pytest.approx(pdf.z.var(ddof=0))
+    assert sf["x"].count() == pdf.x.count()
+
+
+def test_quantile_median_mode_idx(sf, pdf):
+    assert sf["x"].quantile(0.5) == pytest.approx(pdf.x.quantile(0.5))
+    assert sf["x"].median() == pytest.approx(pdf.x.median())
+    assert sf["y"].mode() == pdf.y.mode().iloc[0]
+    assert sf["z"].idxmax() == pdf.z.idxmax()
+    assert sf["z"].idxmin() == pdf.z.idxmin()
+
+
+def test_groupby_sum_mean(sf, pdf):
+    got = sf[["y", "x", "z"]].groupby("y").sum().to_pandas().sort_index()
+    want = pdf.groupby("y")[["x", "z"]].sum()
+    want.index.name = None
+    pdt.assert_frame_equal(got[["x", "z"]], want, check_dtype=False)
+
+
+def test_groupby_agg_dict(sf, pdf):
+    got = (
+        sf.groupby("y")
+        .agg({"x": ["sum", "max"], "z": "mean"})
+        .to_pandas()
+        .sort_index()
+    )
+    assert set(got.columns) >= {"x_sum", "x_max", "z"}
+    want = pdf.groupby("y").agg(x_sum=("x", "sum"), x_max=("x", "max"), z=("z", "mean"))
+    want.index.name = None
+    pdt.assert_frame_equal(got[["x_sum", "x_max", "z"]], want, check_dtype=False)
+
+
+def test_groupby_size_head(sf, pdf):
+    got = sf.groupby("y").size().to_pandas().sort_index()["size"]
+    want = pdf.groupby("y").size()
+    want.index.name = None
+    pdt.assert_series_equal(got, want, check_dtype=False, check_names=False)
+    got_head = sf.groupby("y").head(2).to_pandas().sort_index()
+    want_head = pdf.groupby("y").head(2)
+    pdt.assert_frame_equal(got_head[want_head.columns], want_head, check_dtype=False)
+
+
+def test_merge_on_column(sf, pdf, spark):
+    dim = pd.DataFrame({"y": range(15), "label": [f"g{i}" for i in range(15)]})
+    sdim = SparkFrame.from_pandas(spark, dim)
+    got = (
+        sf.merge(sdim, on="y", how="inner", broadcast=True)
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    want = pdf.merge(dim, on="y", how="inner").sort_values("x").reset_index(drop=True)
+    pdt.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_merge_suffixes(sf, pdf, spark):
+    other = pdf[["y", "z"]].drop_duplicates("y")
+    sother = SparkFrame.from_pandas(spark, other)
+    got = sf.merge(sother, on="y", how="left").to_pandas()
+    assert "z_x" in got.columns and "z_y" in got.columns
+
+
+def test_set_index_sort(sf, pdf):
+    got = sf.set_index("x").to_pandas()
+    want = pdf.set_index("x")
+    want.index.name = None
+    pdt.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_shift_diff_cumsum_ffill(sf, pdf):
+    got = sf.assign(
+        sh=sf["x"].shift(1),
+        df_=sf["x"].diff(2),
+        cs=sf["x"].cumsum(),
+        cm=sf["z"].cummax(),
+    )
+    want = pdf.assign(
+        sh=pdf.x.shift(1), df_=pdf.x.diff(2), cs=pdf.x.cumsum(), cm=pdf.z.cummax()
+    )
+    eq_frame(got, want)
+
+
+def test_str_accessor(sf, pdf):
+    got = sf.assign(
+        u=sf["s"].str.upper(),
+        l2=sf["s"].str.len(),
+        c=sf["s"].str.contains("_1"),
+        r=sf["s"].str.replace("_", "-"),
+        sl=sf["s"].str.slice(0, 2),
+    )
+    want = pdf.assign(
+        u=pdf.s.str.upper(),
+        l2=pdf.s.str.len(),
+        c=pdf.s.str.contains("_1", regex=False),
+        r=pdf.s.str.replace("_", "-"),
+        sl=pdf.s.str.slice(0, 2),
+    )
+    eq_frame(got, want)
+
+
+def test_dt_accessor(spark):
+    pdf = pd.DataFrame(
+        {"t": pd.date_range("2024-01-01", periods=50, freq="7h"), "v": range(50)}
+    )
+    sf2 = SparkFrame.from_pandas(spark, pdf)
+    got = sf2.assign(
+        y=sf2["t"].dt.year,
+        m=sf2["t"].dt.month,
+        d=sf2["t"].dt.day,
+        h=sf2["t"].dt.hour,
+        dow=sf2["t"].dt.dayofweek,
+        q=sf2["t"].dt.quarter,
+    )
+    want = pdf.assign(
+        y=pdf.t.dt.year,
+        m=pdf.t.dt.month,
+        d=pdf.t.dt.day,
+        h=pdf.t.dt.hour,
+        dow=pdf.t.dt.dayofweek,
+        q=pdf.t.dt.quarter,
+    )
+    eq_frame(got, want)
+
+
+def test_dropna_fillna(spark):
+    pdf = pd.DataFrame({"a": [1.0, None, 3.0, None], "b": [None, "x", "y", None]})
+    sf2 = SparkFrame.from_pandas(spark, pdf)
+    got = sf2.dropna(how="any").to_pandas()
+    want = pdf.dropna(how="any")
+    pdt.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    got_f = sf2.assign(a=sf2["a"].fillna(0.0)).to_pandas()
+    want_f = pdf.assign(a=pdf.a.fillna(0.0))
+    pdt.assert_frame_equal(got_f[want_f.columns], want_f, check_dtype=False)
+
+
+def test_drop_duplicates_keeps_first(spark):
+    pdf = pd.DataFrame({"k": [1, 1, 2, 2, 3], "v": [10, 20, 30, 40, 50]})
+    sf2 = SparkFrame.from_pandas(spark, pdf)
+    got = sf2.drop_duplicates(subset="k").to_pandas()
+    want = pdf.drop_duplicates(subset="k")
+    pdt.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_concat_union(sf, pdf):
+    got = sf[["x"]].concat(sf[["x"]]).count()
+    assert got == 2 * len(pdf)
+
+
+def test_nlargest(sf, pdf):
+    got = sf.nlargest(5, "x").to_pandas().sort_index()
+    want = pdf.nlargest(5, "x").sort_index()
+    pdt.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_sample_seeded(sf):
+    n = sf.sample(0.3, seed=7).count()
+    assert 10 <= n <= 60  # fraction is approximate by contract
+
+
+def test_map_partitions(sf, pdf):
+    def double(it):
+        for p in it:
+            p = p.copy()
+            p["x"] = p["x"] * 2
+            yield p
+
+    schema = sf.to_spark().schema
+    got = sf.map_partitions(double, schema)[["x"]].to_pandas().sort_index()
+    want = pdf[["x"]] * 2
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_groupby_apply(sf, pdf):
+    def demean(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.copy()
+        p["z"] = p["z"] - p["z"].mean()
+        return p[["y", "z"]]
+
+    got = (
+        sf.groupby("y")
+        .apply(demean, schema="y long, z double")
+        .to_spark()
+        .toPandas()[["y", "z"]]
+        .sort_values(["y", "z"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pdf.assign(z=pdf.z - pdf.groupby("y").z.transform("mean"))[["y", "z"]]
+        .sort_values(["y", "z"])
+        .reset_index(drop=True)
+    )
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_query_string(sf, pdf):
+    got = sf.query("x > 90").to_pandas()
+    want = pdf.query("x > 90")
+    pdt.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_astype_rename_prefix(sf, pdf):
+    got = sf[["x"]].astype({"x": "double"}).rename({"x": "xx"}).add_prefix("p_")
+    assert got.columns == ["p_xx"]
