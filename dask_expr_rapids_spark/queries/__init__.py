@@ -10,6 +10,7 @@ Import order matters only for registration side effects.
 from .registry import REGISTRY, Query, register, queries, oracle_sql
 
 from . import relational  # noqa: E402,F401
+from . import tpch_ext  # noqa: E402,F401
 from . import aggregates  # noqa: E402,F401
 from . import window  # noqa: E402,F401
 from . import text  # noqa: E402,F401
