@@ -1,0 +1,133 @@
+"""Multimodal (image/audio/video) column support — binary payloads with
+typed metadata, decoded via Arrow-batched Python UDFs.
+
+The container has no image/audio libraries, so the actual codec step is
+STUBBED exactly as the engine contract requires: :func:`decode_image`
+raises ``NotImplementedError`` unless Pillow is importable, while
+:func:`fake_decode_stats` is a deterministic md5-derived stand-in whose
+Spark-side plumbing (binary Arrow batches through ``mapInPandas``, explicit
+result schema, per-batch vectorization) is exactly what a real decoder
+would use — swap the hash arithmetic for ``PIL.Image.open`` and nothing
+else changes.
+
+Schema convention for a media frame:
+    media_id   bigint
+    media_type string            ('image' | 'audio' | 'video')
+    payload    binary            (the opaque encoded bytes)
+    meta       struct<fmt string, declared_bytes bigint>
+
+Scale notes: payloads stay columnar Arrow binary end-to-end (no base64
+round-trips); decode fan-out is per-partition Python with batch size
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — at 100 TB
+the decode stage is embarrassingly parallel and the metadata-only queries
+never touch payload bytes thanks to Parquet column pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: result schema of the (fake or real) image decode stage.
+DECODE_SCHEMA = (
+    "media_id bigint, media_type string, width int, height int, "
+    "intensity int, n_bytes bigint"
+)
+
+
+def as_media(documents: DataFrame) -> DataFrame:
+    """Deterministically lift the ``documents`` table into a media frame:
+    payload = UTF-8 bytes of ``text`` (a stand-in for real encoded media),
+    media_type round-robins by id, metadata is a typed struct."""
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    fmt = (
+        F.when(mtype == "image", "png")
+        .when(mtype == "audio", "wav")
+        .otherwise("mp4")
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        mtype.alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(fmt.alias("fmt"), F.col("n_chars").alias("declared_bytes")).alias("meta"),
+    )
+
+
+def decode_image(payload_bytes: bytes):
+    """Real decode path — requires Pillow, absent in this container."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "image decoding requires Pillow; this environment ships no codec "
+            "libraries — use fake_decode_stats for the deterministic stand-in"
+        ) from exc
+    import io
+
+    return Image.open(io.BytesIO(payload_bytes))  # pragma: no cover
+
+
+def _fake_stats(md5_hex: str) -> tuple[int, int, int]:
+    """Deterministic (width, height, intensity) derived from the payload
+    md5 — the arithmetic contract shared with the SQL oracle."""
+    width = 64 + int(md5_hex[0:2], 16) % 192
+    height = 64 + int(md5_hex[2:4], 16) % 192
+    intensity = int(md5_hex[4:8], 16) % 256
+    return width, height, intensity
+
+
+def fake_decode_stats(media: DataFrame) -> DataFrame:
+    """'Decode' each payload via mapInPandas: Arrow-batched binary in,
+    typed feature columns out.  Replace the md5 arithmetic with a real
+    codec call and the plumbing is production decode."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            md5s = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            stats = md5s.map(_fake_stats)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": stats.map(lambda t: t[0]).astype("int32"),
+                    "height": stats.map(lambda t: t[1]).astype("int32"),
+                    "intensity": stats.map(lambda t: t[2]).astype("int32"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        _decode, DECODE_SCHEMA
+    )
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4) -> Column:
+    """Split each payload into ``n_frames`` byte slices (video frame
+    sampling stand-in) — pure JVM byte slicing, returns array<binary>."""
+    chunk = (F.length("payload") / n_frames).cast("int") + 1
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: F.substring(F.col("payload"), (i * chunk + 1).cast("int"), chunk),
+    )
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage stub: real implementation would decode → resize →
+    re-encode inside the same mapInPandas; here it tags the metadata only
+    (payload untouched) so pipelines can be wired end-to-end."""
+    return media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.fmt").alias("fmt"),
+            F.col("meta.declared_bytes").alias("declared_bytes"),
+            F.lit(width).alias("target_width"),
+            F.lit(height).alias("target_height"),
+        ),
+    )

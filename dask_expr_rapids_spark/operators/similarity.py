@@ -1,0 +1,173 @@
+"""Reusable similarity-search operators over embedding DataFrames
+(``array<float>`` column + integer id) — the scale path behind the
+``ann_*`` queries in ``queries/similarity.py``.
+
+Not in the reference (its surface stops at the pandas algebra,
+``/root/reference/dask_expr/_collection.py``); this is the LLM-data
+extension layer (SURVEY.md §7 phase 4).
+
+Determinism contract: vectors are quantized to 1e-6 integers first; all
+dot products / norms are exact BIGINT sums (order-independent), so results
+are identical across shuffle orders and engines.
+
+Scale design (100 TB / 1000-executor posture):
+
+* the probe set is always broadcast — the corpus is never shuffled for
+  brute force, only scanned once;
+* IVF routing means each probe touches ``nprobe/nclusters`` of the corpus;
+  with the corpus parquet partitioned (or bucketed) by cluster id, the
+  routed search prunes partitions at the scan — the cluster assignment
+  column is the index;
+* per-probe top-k is a ``row_number`` window over (probe, candidate) pairs
+  — cardinality ≤ probes × routed-corpus, never corpus².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+#: quantization scale (1e-6 resolution) — float32 inputs survive exactly:
+#: float→double is exact, ×1e6 is IEEE-identical everywhere, and
+#: half-away-from-zero rounding matches DuckDB's ``round``.
+Q_SCALE = 1_000_000
+
+
+def quantize(col) -> Column:
+    """``array<float>`` → ``array<bigint>`` at 1e-6 resolution."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * Q_SCALE, 0).cast("long"))
+
+
+def _isum(arr) -> Column:
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def dot_q(a, b) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return _isum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def norm2_q(a) -> Column:
+    """Exact integer squared norm of a quantized vector."""
+    return _isum(F.transform(a, lambda x: x * x))
+
+
+def cosine_q(a, b) -> Column:
+    """Cosine from quantized vectors: exact integer dot/norms, one final
+    double division — bit-identical across engines and shuffle orders."""
+    return dot_q(a, b).cast("double") / (
+        F.sqrt(norm2_q(a).cast("double")) * F.sqrt(norm2_q(b).cast("double"))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "qid",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast probes against the streamed corpus.
+
+    ``probes`` must carry (`probe_id`, `vec_col`).  Returns
+    (probe_id, id_col, cosine) with deterministic tie-break on id.
+    """
+    c = corpus.select(F.col(id_col), quantize(F.col(vec_col)).alias("__qv__"))
+    p = probes.select(F.col(probe_id), quantize(F.col(vec_col)).alias("__qp__"))
+    pairs = c.join(F.broadcast(p), F.col(id_col) != F.col(probe_id))
+    sims = pairs.select(
+        probe_id, id_col, cosine_q(F.col("__qp__"), F.col("__qv__")).alias("cosine")
+    )
+    w = W.partitionBy(probe_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        sims.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+
+
+def cluster_sums(
+    corpus: DataFrame,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer sum-vector per cluster, exploded as (cluster, u, s).
+
+    The un-normalized sum vector IS the centroid for cosine routing:
+    cos(p, S/n) == cos(p, S) — the 1/n scale cancels — so routing never
+    needs a float division, keeping it exact.
+    """
+    return (
+        corpus.select(F.col(cluster_col), F.posexplode(quantize(F.col(vec_col))).alias("u", "x"))
+        .groupBy(cluster_col, "u")
+        .agg(F.sum("x").alias("s"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    probe_id: str = "qid",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style two-stage ANN: route each probe to its ``nprobe`` nearest
+    cluster sum-vectors, then exact top-k within the routed clusters only.
+
+    At scale the corpus should be stored partitioned by ``cluster_col`` so
+    stage 2 is a partition-pruned scan; stage 1 touches only
+    nclusters × dim integers.
+    """
+    sums = cluster_sums(corpus, cluster_col, id_col, vec_col)
+    sn = sums.groupBy(cluster_col).agg(F.sum(F.col("s") * F.col("s")).alias("sn2"))
+    p_expl = probes.select(
+        F.col(probe_id), F.posexplode(quantize(F.col(vec_col))).alias("u", "qp")
+    )
+    pn = p_expl.groupBy(probe_id).agg(F.sum(F.col("qp") * F.col("qp")).alias("pn2"))
+    route_dots = (
+        p_expl.join(F.broadcast(sums), "u")
+        .groupBy(probe_id, cluster_col)
+        .agg(F.sum(F.col("qp") * F.col("s")).alias("dot"))
+    )
+    route_cos = (
+        route_dots.join(F.broadcast(sn), cluster_col)
+        .join(F.broadcast(pn), probe_id)
+        .select(
+            probe_id,
+            cluster_col,
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("sn2").cast("double")) * F.sqrt(F.col("pn2").cast("double")))
+            ).alias("rcos"),
+        )
+    )
+    wr = W.partitionBy(probe_id).orderBy(F.desc("rcos"), F.asc(cluster_col))
+    routed = (
+        route_cos.withColumn("__rn__", F.row_number().over(wr))
+        .filter(F.col("__rn__") <= nprobe)
+        .select(probe_id, cluster_col)
+    )
+    # stage 2: exact search restricted to routed clusters
+    c = corpus.select(
+        F.col(cluster_col), F.col(id_col), quantize(F.col(vec_col)).alias("__qv__")
+    )
+    p = probes.select(F.col(probe_id), quantize(F.col(vec_col)).alias("__qp__"))
+    cand = (
+        c.join(F.broadcast(routed), cluster_col)
+        .join(F.broadcast(p), probe_id)
+        .filter(F.col(id_col) != F.col(probe_id))
+    )
+    sims = cand.select(
+        probe_id, id_col, cosine_q(F.col("__qp__"), F.col("__qv__")).alias("cosine")
+    )
+    w = W.partitionBy(probe_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        sims.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )

@@ -127,6 +127,86 @@ def ann_bruteforce_cosine_topk(spark, sf_dir):
     )
 
 
+_NPROBE = 2
+
+_IVF_SQL = f"""
+    WITH sums AS (
+      SELECT label, CAST(u AS INT) AS u, SUM({_QELEM.format(v='e')}) AS s
+      FROM (SELECT label, embedding, unnest(range({_DIM})) AS u
+            FROM embeddings) e
+      GROUP BY 1, 2
+    ),
+    snorm AS (SELECT label, SUM(s * s) AS sn2 FROM sums GROUP BY label),
+    pexpl AS (
+      SELECT vec_id AS qid, CAST(u AS INT) AS u, {_QELEM.format(v='q')} AS qp
+      FROM (SELECT vec_id, embedding, unnest(range({_DIM})) AS u
+            FROM embeddings WHERE vec_id < {_N_QUERIES}) q
+    ),
+    pnorm AS (SELECT qid, SUM(qp * qp) AS pn2 FROM pexpl GROUP BY qid),
+    rdots AS (
+      SELECT p.qid, s.label, SUM(p.qp * s.s) AS dot
+      FROM pexpl p JOIN sums s ON p.u = s.u
+      GROUP BY 1, 2
+    ),
+    routed AS (
+      SELECT qid, label FROM (
+        SELECT d.qid, d.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.qid
+                 ORDER BY CAST(d.dot AS DOUBLE)
+                          / (sqrt(CAST(sn.sn2 AS DOUBLE)) * sqrt(CAST(pn.pn2 AS DOUBLE)))
+                          DESC, d.label) AS rn
+        FROM rdots d
+        JOIN snorm sn ON d.label = sn.label
+        JOIN pnorm pn ON d.qid = pn.qid
+      ) t WHERE rn <= {_NPROBE}
+    ),
+    {_NORMS_SQL.strip()},
+    dots AS (
+      SELECT r.qid, e.vec_id AS nid,
+             SUM({_QELEM.format(v='q')} * {_QELEM.format(v='e')}) AS dot
+      FROM routed r
+      JOIN embeddings e ON e.label = r.label AND e.vec_id <> r.qid
+      JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}) q
+        ON q.vec_id = r.qid
+      CROSS JOIN (SELECT unnest(range({_DIM})) AS u) u
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT d.qid, d.nid,
+             CAST(d.dot AS DOUBLE) / (sqrt(CAST(nq.nrm2 AS DOUBLE))
+                                      * sqrt(CAST(ne.nrm2 AS DOUBLE))) AS cosine
+      FROM dots d
+      JOIN norms nq ON d.qid = nq.vec_id
+      JOIN norms ne ON d.nid = ne.vec_id
+    )
+    SELECT qid, nid,
+           (CAST(floor(cosine * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, nid) AS rn
+          FROM sims) t
+    WHERE rn <= {_TOPK}
+"""
+
+
+@register("ann_ivf_cosine_topk", _IVF_SQL)
+def ann_ivf_cosine_topk(spark, sf_dir):
+    """IVF two-stage ANN (operators/similarity.py:ivf_topk): route each
+    probe to its nprobe=2 nearest cluster sum-vectors (labels = coarse
+    clusters), exact quantized-cosine top-k inside routed clusters only.
+    At 100 TB the corpus is partitioned by cluster id so stage 2 is a
+    partition-pruned scan of nprobe/nclusters of the data."""
+    from ..functions.exact import pround
+    from ..operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ivf_topk(e, probes, k=_TOPK, nprobe=_NPROBE)
+    return out.select("qid", F.col("vec_id").alias("nid"), pround(F.col("cosine"), 6).alias("cosine"))
+
+
 @register(
     "embedding_centroids",
     f"""
