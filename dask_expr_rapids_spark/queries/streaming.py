@@ -1,0 +1,98 @@
+"""Registry entries that run REAL Structured Streaming jobs (availableNow
+drain → memory sink) and return the final table — oracle-checked against
+batch SQL.  This proves the streaming operators' event-time semantics are
+exactly the batch semantics (the Structured Streaming guarantee).
+
+The reference has no streaming at all (SURVEY.md §2.12) — this is the
+engine extension a 100 TB training-data pipeline needs for continuous
+ingest: the same windowed/sessionized aggregations keep running as data
+arrives, with watermark-bounded state.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..streaming.ops import (
+    read_events_stream,
+    run_available_now,
+    sessionize,
+    windowed_counts,
+)
+from .registry import register
+
+_sink_counter = itertools.count()
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """File streams read directories: stage events.parquet into a tmp dir
+    (driver-side copy of one file; test scales only)."""
+    d = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "part-000.parquet"))
+    return d
+
+
+@register(
+    "stream_windowed_event_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_windowed_event_counts(spark, sf_dir):
+    """Tumbling 1-hour event-time windows computed BY A STREAMING JOB,
+    equal to the batch GROUP BY time-bucket (oracle)."""
+    stream = read_events_stream(spark, _staged_events_dir(sf_dir))
+    sink = f"stream_win_counts_{next(_sink_counter)}"
+    out = run_available_now(
+        windowed_counts(stream, window="1 hour", watermark="2 hours"),
+        sink,
+        output_mode="complete",
+    )
+    return out
+
+
+@register(
+    "stream_sessionize_users",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize_users(spark, sf_dir):
+    """Per-user 30-minute-gap sessions computed BY A STREAMING JOB with
+    native session windows; oracle = batch gaps-and-islands SQL."""
+    stream = read_events_stream(spark, _staged_events_dir(sf_dir))
+    sink = f"stream_sessions_{next(_sink_counter)}"
+    return run_available_now(
+        sessionize(stream, gap="30 minutes", watermark="2 hours"),
+        sink,
+        output_mode="complete",
+    )

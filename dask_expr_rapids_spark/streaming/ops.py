@@ -1,0 +1,156 @@
+"""Structured Streaming operators.
+
+The reference is batch-only (SURVEY.md §2.12 — no watermarks, no stateful
+ops anywhere in ``/root/reference``), so this module is a pure extension:
+the streaming half a production data engine needs, expressed with
+Structured Streaming's native incremental operators.
+
+Design rules:
+* sources are file streams (``readStream.parquet``) or any rate/kafka-style
+  source the session can reach; schemas are explicit (streams can't infer);
+* event-time semantics via watermarks — every stateful op (windowed agg,
+  dedup, sessionization) bounds its state so it runs forever at scale;
+* custom stateful logic uses ``applyInPandasWithState`` (Arrow-batched,
+  timeout-driven eviction) — the streaming analog of the batch engine's
+  ``applyInPandas`` surface;
+* batch parity: each operator has identical semantics when applied to a
+  batch DataFrame (Spark shares the operator implementations), which is
+  how the tests oracle-check streaming results against batch SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based event stream with the batch loader's ts conversion.
+
+    Streams can't infer schemas, so the file schema is probed with a batch
+    reader (driver-side metadata only — no data read), which also makes the
+    ns-timestamp handling follow whatever the session's parquet config is
+    (``ts`` may arrive as nanosecond longs under ``nanosAsLong`` — converted
+    to microsecond timestamps exactly like ``sources.tables.load_table``).
+    """
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
+    for field in schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    by: str = "event_type",
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data handling.
+
+    The watermark bounds state: windows older than (max event time -
+    watermark) are finalized and evicted — mandatory for an unbounded
+    stream at scale.  Works identically on a batch frame (watermark is a
+    no-op there), which the tests exploit for oracle checks.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), F.col(by))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), by, "n")
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "1 day") -> DataFrame:
+    """Exactly-once projection of duplicate events: state = key set within
+    the watermark horizon (``dropDuplicatesWithinWatermark`` semantics —
+    unbounded exact dedup is impossible on an infinite stream)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session aggregation via native session windows (gap-merged
+    event-time windows; state evicted past the watermark)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+#: output schema of :func:`running_user_totals`.
+_RUNNING_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum(value)) maintained across micro-batches — the
+    pattern for any bespoke accumulator Structured Streaming lacks.
+
+    State is one tiny tuple per user; ProcessingTimeTimeout lets idle keys
+    be evicted by a production configuration (kept eternal here)."""
+
+    def _update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, sink_table: str, output_mode: str = "complete"):
+    """Drain everything currently available through the streaming plan into
+    an in-memory sink table, then stop.  Returns the query's final table
+    (``spark.table(sink_table)``) for inspection/diffing."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(sink_table)

@@ -1,0 +1,111 @@
+"""Structured Streaming ops vs their batch equivalents: the same operator
+applied to a file stream (availableNow drain → memory sink) must produce
+exactly the batch result — the streaming analog of the DuckDB differential
+oracle."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from dask_expr_rapids_spark.sources.tables import load_table
+from dask_expr_rapids_spark.streaming.ops import (
+    read_events_stream,
+    run_available_now,
+    running_user_totals,
+    sessionize,
+    stream_dedup,
+    windowed_counts,
+)
+
+from .conftest import SF_DIR, canonical_rows
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Events parquet staged into a directory (file streams read dirs)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d / "part-000.parquet")
+    return str(d)
+
+
+def _assert_same(stream_result, batch_df, name):
+    srows = canonical_rows(stream_result.toPandas())
+    brows = canonical_rows(batch_df.toPandas())
+    assert srows == brows, f"{name}: stream/batch divergence ({len(srows)} vs {len(brows)} rows)"
+
+
+def test_stream_windowed_counts_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    out = run_available_now(
+        windowed_counts(stream), "t_win_counts", output_mode="complete"
+    )
+    batch = windowed_counts(load_table(spark, SF_DIR, "events"))
+    _assert_same(out, batch, "windowed_counts")
+
+
+def test_stream_sessionize_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    out = run_available_now(sessionize(stream), "t_sessions", output_mode="complete")
+    batch = sessionize(load_table(spark, SF_DIR, "events"))
+    _assert_same(out, batch, "sessionize")
+    # sanity: sessions exist and never overlap per user
+    assert out.count() > 0
+
+
+def test_stream_dedup(spark, events_dir):
+    # duplicate the input file → every event appears twice across files;
+    # dedup on event_id must restore the original cardinality.
+    dup_dir = events_dir + "_dup"
+    os.makedirs(dup_dir, exist_ok=True)
+    shutil.copy(os.path.join(events_dir, "part-000.parquet"), os.path.join(dup_dir, "a.parquet"))
+    shutil.copy(os.path.join(events_dir, "part-000.parquet"), os.path.join(dup_dir, "b.parquet"))
+    stream = read_events_stream(spark, dup_dir)
+    deduped = stream_dedup(stream, ["event_id"], watermark="365 days")
+    out = run_available_now(
+        deduped.groupBy("event_type").count(), "t_dedup", output_mode="complete"
+    )
+    batch = load_table(spark, SF_DIR, "events").groupBy("event_type").count()
+    _assert_same(out, batch, "stream_dedup")
+
+
+def test_running_user_totals_stateful(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    out = run_available_now(
+        running_user_totals(stream), "t_running", output_mode="update"
+    )
+    # update-mode sink may hold several rows per user (one per micro-batch);
+    # the LAST state per user must equal the batch totals.
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    final = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    # floats accumulated in Python vs JVM: compare counts exactly, values
+    # to 1e-9 relative.
+    f = {r["user_id"]: r for r in final.collect()}
+    b = {r["user_id"]: r for r in batch.collect()}
+    assert set(f) == set(b)
+    for uid in b:
+        assert f[uid]["n_events"] == b[uid]["n_events"]
+        assert abs(f[uid]["total_value"] - b[uid]["total_value"]) <= 1e-6 * max(
+            1.0, abs(b[uid]["total_value"])
+        )
