@@ -302,6 +302,37 @@ class Series:
         w = self._ordered_window().rowsBetween(0, W.unboundedFollowing)
         return Series(self._frame, F.first(self._expr, ignorenulls=True).over(w), self.name)
 
+    def map(self, mapping: Mapping, default=None) -> "Series":
+        """Dict-based value map (reference ``Map``, ``_expr.py:1240-1270``):
+        compiled into a chained CASE WHEN — JVM-side, no UDF."""
+        expr = F.lit(default)
+        for k, v in mapping.items():
+            expr = F.when(self._expr == F.lit(k), F.lit(v)).otherwise(expr)
+        return Series(self._frame, expr, self.name)
+
+    def rank(self, method: str = "min", ascending: bool = True) -> "Series":
+        order = F.asc(self._expr) if ascending else F.desc(self._expr)
+        w = W.orderBy(order)
+        fn = {"min": F.rank, "dense": F.dense_rank, "first": F.row_number}[method]
+        return Series(self._frame, fn().over(w).cast("double"), self.name)
+
+    def value_counts(self, normalize: bool = False, sort: bool = True) -> "SparkFrame":
+        """Reference ``ValueCounts`` (_reductions.py:1122-1159)."""
+        sdf = self._frame._sdf.select(self._expr.alias(self.name)).groupBy(self.name).agg(
+            F.count(F.lit(1)).alias("count")
+        )
+        if normalize:
+            total = F.sum("count").over(W.partitionBy())
+            sdf = sdf.withColumn("proportion", F.col("count") / total).drop("count")
+        if sort:
+            sdf = sdf.orderBy(F.desc("proportion" if normalize else "count"), F.asc(self.name))
+        return SparkFrame(sdf.withColumn(INDEX, F.col(self.name)))
+
+    def rolling(self, window, min_periods: int | None = None) -> "Rolling":
+        """Reference ``Rolling`` (``_rolling.py:228``): integer row windows
+        or time-based windows (string offset) over index order."""
+        return Rolling(self, window, min_periods)
+
     def to_pandas(self) -> pd.Series:
         pdf = (
             self._frame._sdf.select(F.col(INDEX), self._expr.alias(self.name or "0"))
@@ -313,6 +344,133 @@ class Series:
         return out
 
     compute = to_pandas
+
+
+_SEC = {"s": 1, "min": 60, "h": 3600, "d": 86400}
+
+
+def _offset_seconds(rule: str) -> int:
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*(s|min|h|d)", rule.strip().lower())
+    if not m:
+        raise ValueError(f"unsupported offset: {rule!r} (use e.g. '30s', '5min', '1h', '1d')")
+    return int(m.group(1)) * _SEC[m.group(2)]
+
+
+class Rolling:
+    """Windowed aggregation container (reference ``Rolling``,
+    ``/root/reference/dask_expr/_rolling.py:38-323``).  Integer windows →
+    ``rowsBetween``; time-offset windows ('5min') → ``rangeBetween`` over
+    epoch seconds of the (timestamp) index — both JVM window functions, no
+    MapOverlap machinery needed (SURVEY.md §2.10)."""
+
+    def __init__(self, series: Series, window, min_periods: int | None):
+        self._s = series
+        self._window = window
+        self._min_periods = min_periods
+
+    def _spec(self):
+        if isinstance(self._window, int):
+            w = W.orderBy(INDEX).rowsBetween(-(self._window - 1), 0)
+            count_needed = self._min_periods if self._min_periods is not None else self._window
+        else:
+            secs = _offset_seconds(self._window)
+            w = (
+                W.orderBy(F.unix_timestamp(F.col(INDEX)))
+                .rangeBetween(-(secs - 1), 0)
+            )
+            count_needed = self._min_periods if self._min_periods is not None else 1
+        return w, count_needed
+
+    def _agg(self, fn) -> Series:
+        w, need = self._spec()
+        expr = fn(self._s._expr).over(w)
+        guard = F.count(self._s._expr).over(w) >= need
+        return Series(self._s._frame, F.when(guard, expr), self._s.name)
+
+    def sum(self):
+        return self._agg(F.sum)
+
+    def mean(self):
+        return self._agg(F.avg)
+
+    def min(self):
+        return self._agg(F.min)
+
+    def max(self):
+        return self._agg(F.max)
+
+    def count(self):
+        w, _ = self._spec()
+        return Series(self._s._frame, F.count(self._s._expr).over(w), self._s.name)
+
+    def std(self):
+        return self._agg(F.stddev_samp)
+
+    def var(self):
+        return self._agg(F.var_samp)
+
+
+class Resampler:
+    """Time-bucket aggregation container (reference ``Resampler``,
+    ``/root/reference/dask_expr/_resample.py:21-269``): buckets via
+    timestamp truncation (``F.window``-equivalent epoch arithmetic), then a
+    plain hash aggregate — scales like any groupBy."""
+
+    def __init__(self, frame: "SparkFrame", rule: str):
+        self._frame = frame
+        self._secs = _offset_seconds(rule)
+
+    def _bucket(self):
+        return F.timestamp_seconds(
+            (F.unix_timestamp(F.col(INDEX)) / self._secs).cast("long") * self._secs
+        )
+
+    def agg(self, spec: Mapping[str, str]) -> "SparkFrame":
+        aggs = [_AGG_FNS[fname](col).alias(col) for col, fname in spec.items()]
+        sdf = (
+            self._frame._sdf.groupBy(self._bucket().alias(INDEX))
+            .agg(*aggs)
+        )
+        return SparkFrame(sdf)
+
+    def _all(self, fname: str) -> "SparkFrame":
+        cols = [c for c in self._frame.columns]
+        return self.agg({c: fname for c in cols})
+
+    def sum(self):
+        return self._all("sum")
+
+    def mean(self):
+        return self._all("mean")
+
+    def count(self):
+        return self._all("count")
+
+    def min(self):
+        return self._all("min")
+
+    def max(self):
+        return self._all("max")
+
+    def ohlc(self, col: str) -> "SparkFrame":
+        """first/max/min/last by bucket (reference ResampleOhlc)."""
+        w = W.partitionBy("__b__").orderBy(INDEX)
+        sdf = (
+            self._frame._sdf.withColumn("__b__", self._bucket())
+            .withColumn("__rn_a__", F.row_number().over(w))
+            .withColumn("__rn_d__", F.row_number().over(W.partitionBy("__b__").orderBy(F.desc(INDEX))))
+        )
+        return SparkFrame(
+            sdf.groupBy(F.col("__b__").alias(INDEX))
+            .agg(
+                F.max(F.when(F.col("__rn_a__") == 1, F.col(col))).alias("open"),
+                F.max(col).alias("high"),
+                F.min(col).alias("low"),
+                F.max(F.when(F.col("__rn_d__") == 1, F.col(col))).alias("close"),
+            )
+        )
 
 
 class SparkFrame:
@@ -525,6 +683,119 @@ class SparkFrame:
     def groupby(self, by) -> "GroupBy":
         return GroupBy(self, _as_list(by))
 
+    # -- time-series containers (reference _resample.py, _rolling.py) ------
+    def resample(self, rule: str) -> "Resampler":
+        return Resampler(self, rule)
+
+    # -- reshape (reference PivotTable _reductions.py:556-659; Explode
+    # _expr.py:1296-1306; melt absent in reference — free extension) --------
+    def pivot_table(
+        self, index: str, columns: str, values: str, aggfunc: str = "sum"
+    ) -> "SparkFrame":
+        sdf = (
+            self._sdf.groupBy(index)
+            .pivot(columns)
+            .agg(_AGG_FNS[aggfunc](values))
+        )
+        return SparkFrame(sdf.withColumn(INDEX, F.col(index)))
+
+    def explode(self, column: str) -> "SparkFrame":
+        return SparkFrame(self._sdf.withColumn(column, F.explode_outer(column)))
+
+    def melt(self, id_vars, value_vars=None, var_name="variable", value_name="value") -> "SparkFrame":
+        ids = _as_list(id_vars)
+        vals = _as_list(value_vars) or [c for c in self.columns if c not in ids]
+        sdf = self._sdf.select(
+            INDEX,
+            *ids,
+            F.expr(
+                "stack({n}, {args}) as ({var}, {val})".format(
+                    n=len(vals),
+                    args=", ".join(f"'{c}', cast(`{c}` as double)" for c in vals),
+                    var=var_name,
+                    val=value_name,
+                )
+            ),
+        )
+        return SparkFrame(sdf)
+
+    def combine_first(self, other: "SparkFrame") -> "SparkFrame":
+        """Reference ``CombineFirst`` (``_expr.py:857-884``): full outer
+        index join + per-column coalesce (self wins)."""
+        lsdf = self._sdf
+        rsdf = other._sdf
+        lcols, rcols = set(lsdf.columns) - {INDEX}, set(rsdf.columns) - {INDEX}
+        l = lsdf.withColumnsRenamed({c: c + "__l" for c in lcols})
+        r = rsdf.withColumnsRenamed({c: c + "__r" for c in rcols})
+        joined = l.join(r, INDEX, "outer")
+        out_cols = [F.col(INDEX)]
+        for c in sorted(lcols | rcols):
+            if c in lcols and c in rcols:
+                out_cols.append(F.coalesce(c + "__l", c + "__r").alias(c))
+            elif c in lcols:
+                out_cols.append(F.col(c + "__l").alias(c))
+            else:
+                out_cols.append(F.col(c + "__r").alias(c))
+        return SparkFrame(joined.select(*out_cols))
+
+    # -- pairwise stats (reference GroupBy.cov/corr _groupby.py:428-455,
+    # frame-level via F.covar_samp / F.corr) --------------------------------
+    def cov(self, c1: str, c2: str) -> float:
+        return self._sdf.agg(F.covar_samp(c1, c2)).collect()[0][0]
+
+    def corr(self, c1: str, c2: str) -> float:
+        return self._sdf.agg(F.corr(c1, c2)).collect()[0][0]
+
+    # -- multi-dim aggs (absent in reference — free Spark extensions §2.6) -
+    def rollup(self, *cols) -> "GroupBy":
+        gb = GroupBy(self, list(cols))
+        gb._grouping = self._sdf.rollup(*cols)
+        return gb
+
+    def cube(self, *cols) -> "GroupBy":
+        gb = GroupBy(self, list(cols))
+        gb._grouping = self._sdf.cube(*cols)
+        return gb
+
+    # -- MapOverlap (reference _expr.py:595-794): partition-boundary overlap
+    # for custom sliding logic that Window functions can't express ----------
+    def map_overlap(
+        self, fn: Callable, schema, before: int = 0, after: int = 0, bucket_size: int = 10_000
+    ) -> "SparkFrame":
+        """Apply ``fn(pdf) -> pdf`` over index-ordered buckets, each padded
+        with ``before``/``after`` neighbor rows; padding rows are trimmed
+        from the output (same-length contract, like the reference's
+        ``MapOverlap`` trim ``_expr.py:649-672``).
+
+        The global ``row_number`` ordering step is a range shuffle (same
+        cost class as any global sort); each row is duplicated into at most
+        3 buckets — at 100 TB keep ``before``/``after`` ≪ ``bucket_size``.
+        """
+        pos = F.row_number().over(W.orderBy(INDEX)) - 1
+        base = self._sdf.withColumn("__pos__", pos)
+        bucket = (F.col("__pos__") / bucket_size).cast("long")
+        off_prev = ((F.col("__pos__") % bucket_size) < after)
+        off_next = ((F.col("__pos__") % bucket_size) >= bucket_size - before)
+        targets = F.array_compact(
+            F.array(
+                bucket,
+                F.when(off_prev & (bucket > 0), bucket - 1),
+                F.when(off_next, bucket + 1),
+            )
+        )
+        exploded = base.withColumn("__bucket__", F.explode(targets)).withColumn(
+            "__own__", F.col("__bucket__") == bucket
+        )
+
+        def _apply(key, pdf: pd.DataFrame):
+            pdf = pdf.sort_values("__pos__")
+            own = pdf["__own__"].to_numpy()
+            out = fn(pdf.drop(columns=["__bucket__", "__own__", "__pos__"]))
+            return out[own]
+
+        result = exploded.groupBy("__bucket__").applyInPandas(_apply, schema)
+        return SparkFrame(result)
+
     # -- reductions (frame-level) ------------------------------------------
     def count(self) -> int:
         return self._sdf.count()
@@ -579,11 +850,19 @@ class GroupBy:
     def __init__(self, frame: SparkFrame, by: list[str]):
         self._frame = frame
         self._by = by
+        self._grouping = None  # rollup/cube override (SparkFrame.rollup)
+
+    def _grouped(self):
+        return (
+            self._grouping
+            if self._grouping is not None
+            else self._frame._sdf.groupBy(*self._by)
+        )
 
     def _agg_all(self, fname: str) -> SparkFrame:
         fn = _AGG_FNS[fname]
         cols = [c for c in self._frame.columns if c not in self._by]
-        sdf = self._frame._sdf.groupBy(*self._by).agg(
+        sdf = self._grouped().agg(
             *[fn(c).alias(c) for c in cols]
         )
         # grouped result: group keys become the index domain; keep keys as
@@ -650,7 +929,7 @@ class GroupBy:
                     aggs.append(_AGG_FNS[fname](col).alias(f"{col}_{fname}"))
         else:
             raise TypeError(f"unsupported agg spec: {spec!r}")
-        sdf = self._frame._sdf.groupBy(*self._by).agg(*aggs)
+        sdf = self._grouped().agg(*aggs)
         sdf = sdf.withColumn(INDEX, F.col(self._by[0]))
         return SparkFrame(sdf)
 
@@ -659,9 +938,74 @@ class GroupBy:
             self._frame._sdf.groupBy(*self._by).applyInPandas(fn, schema)
         )
 
+    def transform(self, fname: str, col: str) -> Series:
+        """Reference ``GroupByTransform`` (``_groupby.py:742-745``): group
+        aggregate broadcast back to every member row — a Window aggregate,
+        no shuffle beyond the group partitioning."""
+        w = W.partitionBy(*self._by)
+        return Series(self._frame, _AGG_FNS[fname](F.col(col)).over(w), col)
+
     def shift(self, col: str, periods: int = 1) -> Series:
         w = W.partitionBy(*self._by).orderBy(INDEX)
         return Series(self._frame, F.lag(F.col(col), periods).over(w), col)
+
+    def ffill(self, col: str) -> Series:
+        """Reference ``GroupByFFill`` (``_groupby.py:752-761``)."""
+        w = (
+            W.partitionBy(*self._by)
+            .orderBy(INDEX)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        return Series(self._frame, F.last(F.col(col), ignorenulls=True).over(w), col)
+
+    def bfill(self, col: str) -> Series:
+        w = (
+            W.partitionBy(*self._by)
+            .orderBy(INDEX)
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        return Series(self._frame, F.first(F.col(col), ignorenulls=True).over(w), col)
+
+    def cumsum(self, col: str) -> Series:
+        w = (
+            W.partitionBy(*self._by)
+            .orderBy(INDEX)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        return Series(self._frame, F.sum(F.col(col)).over(w), col)
+
+    def rank(self, col: str, ascending: bool = True) -> Series:
+        order = F.asc(col) if ascending else F.desc(col)
+        w = W.partitionBy(*self._by).orderBy(order)
+        return Series(self._frame, F.rank().over(w).cast("double"), col)
+
+    def idxmax(self, col: str) -> SparkFrame:
+        """Reference GroupBy ``IdxMax`` (``_groupby.py:413-420``) →
+        ``F.max_by`` over the index column."""
+        sdf = self._grouped().agg(F.max_by(F.col(INDEX), F.col(col)).alias(f"{col}_idxmax"))
+        return SparkFrame(sdf.withColumn(INDEX, F.col(self._by[0])))
+
+    def idxmin(self, col: str) -> SparkFrame:
+        sdf = self._grouped().agg(F.min_by(F.col(INDEX), F.col(col)).alias(f"{col}_idxmin"))
+        return SparkFrame(sdf.withColumn(INDEX, F.col(self._by[0])))
+
+    def value_counts(self) -> SparkFrame:
+        """Reference GroupBy ``ValueCounts`` (``_groupby.py:423-425``)."""
+        cols = [c for c in self._frame.columns if c not in self._by]
+        sdf = (
+            self._frame._sdf.groupBy(*self._by, *cols)
+            .agg(F.count(F.lit(1)).alias("count"))
+            .withColumn(INDEX, F.col(self._by[0]))
+        )
+        return SparkFrame(sdf)
+
+    def cov(self, c1: str, c2: str) -> SparkFrame:
+        sdf = self._grouped().agg(F.covar_samp(c1, c2).alias("cov"))
+        return SparkFrame(sdf.withColumn(INDEX, F.col(self._by[0])))
+
+    def corr(self, c1: str, c2: str) -> SparkFrame:
+        sdf = self._grouped().agg(F.corr(c1, c2).alias("corr"))
+        return SparkFrame(sdf.withColumn(INDEX, F.col(self._by[0])))
 
     def head(self, n: int = 1) -> SparkFrame:
         w = W.partitionBy(*self._by).orderBy(INDEX)

@@ -290,3 +290,155 @@ def test_query_string(sf, pdf):
 def test_astype_rename_prefix(sf, pdf):
     got = sf[["x"]].astype({"x": "double"}).rename({"x": "xx"}).add_prefix("p_")
     assert got.columns == ["p_xx"]
+
+
+# --------------------------------------------------------------------------
+# New surface: rolling / resample / reshape / combine_first / map_overlap /
+# groupby long tail — each vs the eager pandas oracle.
+# --------------------------------------------------------------------------
+def test_rolling_int_window(sf, pdf):
+    eq_series(sf["z"].rolling(5).mean(), pdf.z.rolling(5).mean())
+    eq_series(sf["z"].rolling(5).sum(), pdf.z.rolling(5).sum())
+    eq_series(sf["x"].rolling(3).max(), pdf.x.rolling(3).max())
+    eq_series(sf["z"].rolling(7).std(), pdf.z.rolling(7).std())
+
+
+def test_rolling_min_periods(sf, pdf):
+    eq_series(
+        sf["z"].rolling(5, min_periods=1).mean(),
+        pdf.z.rolling(5, min_periods=1).mean(),
+    )
+
+
+def test_value_counts(sf, pdf):
+    got = sf["s"].value_counts().to_pandas()
+    want = pdf.s.value_counts()
+    assert dict(zip(got["s"], got["count"])) == want.to_dict()
+
+
+def test_series_map_rank(sf, pdf):
+    eq_series(
+        sf["s"].map({"Aa_0": "zero", "Aa_1": "one"}, default="other"),
+        pdf.s.map(lambda v: {"Aa_0": "zero", "Aa_1": "one"}.get(v, "other")),
+    )
+    eq_series(sf["z"].rank(), pdf.z.rank(method="min"))
+
+
+def test_resample(spark):
+    idx = pd.date_range("2024-01-01", periods=48, freq="30min")
+    p = pd.DataFrame({"v": np.arange(48, dtype="float64")}, index=idx)
+    f = SparkFrame.from_pandas(spark, p)
+    got = f.resample("1h").agg({"v": "sum"}).to_pandas().sort_index()
+    want = p.resample("1h").agg({"v": "sum"})
+    pdt.assert_frame_equal(got, want, check_dtype=False, check_freq=False)
+
+
+def test_resample_ohlc(spark):
+    idx = pd.date_range("2024-01-01", periods=60, freq="1min")
+    p = pd.DataFrame({"v": np.sin(np.arange(60.0))}, index=idx)
+    f = SparkFrame.from_pandas(spark, p)
+    got = f.resample("15min").ohlc("v").to_pandas().sort_index()
+    want = p.v.resample("15min").ohlc()
+    pdt.assert_frame_equal(got, want, check_dtype=False, check_freq=False)
+
+
+def test_pivot_table(sf, pdf):
+    got = sf.pivot_table(index="y", columns="s", values="z", aggfunc="sum").to_pandas().sort_index()
+    want = pdf.pivot_table(index="y", columns="s", values="z", aggfunc="sum")
+    want.columns = [str(c) for c in want.columns]
+    want.index.name = None
+    got = got[[c for c in want.columns]]
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_explode(spark):
+    p = pd.DataFrame({"k": [1, 2], "v": [[1, 2, 3], [4]]})
+    f = SparkFrame.from_pandas(spark, p)
+    got = f.explode("v").to_pandas()
+    want = p.explode("v")
+    assert sorted(got["v"].tolist()) == sorted(int(x) for x in want["v"])
+
+
+def test_melt(sf, pdf):
+    got = sf.melt(id_vars="s", value_vars=["x", "z"]).to_pandas()
+    want = pdf.melt(id_vars="s", value_vars=["x", "z"])
+    assert len(got) == len(want)
+    gs = sorted(zip(got["s"], got["variable"], got["value"].round(9)))
+    ws = sorted(zip(want["s"], want["variable"], want["value"].astype(float).round(9)))
+    assert gs == ws
+
+
+def test_combine_first(spark):
+    p1 = pd.DataFrame({"a": [1.0, None, 3.0], "b": [None, 5.0, 6.0]}, index=[0, 1, 2])
+    p2 = pd.DataFrame({"a": [10.0, 20.0, 30.0], "c": [7.0, 8.0, 9.0]}, index=[1, 2, 3])
+    f1, f2 = SparkFrame.from_pandas(spark, p1), SparkFrame.from_pandas(spark, p2)
+    got = f1.combine_first(f2).to_pandas().sort_index()
+    want = p1.combine_first(p2)
+    pdt.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_map_overlap_centered_mean(spark):
+    p = pd.DataFrame({"v": np.arange(50, dtype="float64")})
+    f = SparkFrame.from_pandas(spark, p)
+
+    def centered(pdf_):
+        out = pdf_.copy()
+        out["v"] = out["v"].rolling(3, center=True, min_periods=1).mean()
+        return out
+
+    got = f.map_overlap(
+        centered, "__index__ long, v double", before=1, after=1, bucket_size=10
+    ).to_pandas().sort_index()
+    want = pd.DataFrame({"v": p.v.rolling(3, center=True, min_periods=1).mean()})
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_groupby_transform_fill(spark):
+    p = pd.DataFrame(
+        {"g": [0, 0, 0, 1, 1, 1], "v": [1.0, None, 3.0, None, 5.0, None]}
+    )
+    f = SparkFrame.from_pandas(spark, p)
+    eq_series(f.groupby("g").ffill("v"), p.groupby("g").v.ffill())
+    eq_series(f.groupby("g").bfill("v"), p.groupby("g").v.bfill())
+    eq_series(
+        f.groupby("g").transform("max", "v"), p.groupby("g").v.transform("max")
+    )
+
+
+def test_groupby_cumsum_shift_rank(sf, pdf):
+    eq_series(sf.groupby("y").cumsum("z"), pdf.groupby("y").z.cumsum())
+    eq_series(sf.groupby("y").shift("x"), pdf.groupby("y").x.shift())
+    eq_series(
+        sf.groupby("y").rank("z"), pdf.groupby("y").z.rank(method="min")
+    )
+
+
+def test_groupby_idxmax_value_counts(sf, pdf):
+    got = sf.groupby("y").idxmax("z").to_pandas()
+    want = pdf.groupby("y").z.idxmax()
+    assert dict(zip(got["y"], got["z_idxmax"])) == want.to_dict()
+    got_vc = sf.groupby("y").value_counts().to_pandas()
+    want_vc = pdf.groupby("y")[["x", "z", "s"]].value_counts()
+    assert len(got_vc) == len(want_vc)
+
+
+def test_groupby_cov_corr(sf, pdf):
+    got = sf.groupby("y").cov("x", "z").to_pandas()
+    want = pdf.groupby("y").apply(lambda g: g.x.cov(g.z), include_groups=False)
+    for k, v in want.items():
+        gv = got.loc[got.y == k, "cov"].iloc[0]
+        assert gv == pytest.approx(v, rel=1e-9, nan_ok=True)
+
+
+def test_frame_cov_corr_scalar(sf, pdf):
+    assert sf.cov("x", "z") == pytest.approx(pdf.x.cov(pdf.z), rel=1e-9)
+    assert sf.corr("x", "z") == pytest.approx(pdf.x.corr(pdf.z), rel=1e-9)
+
+
+def test_rollup_cube(sf, pdf):
+    got = sf.rollup("s").agg({"z": "sum"}).to_pandas()
+    # rollup: one row per s + grand total (null key)
+    assert len(got) == pdf.s.nunique() + 1
+    cube = sf.cube("s", "y").agg({"z": "sum"}).to_pandas()
+    n_pairs = pdf.groupby(["s", "y"]).size().shape[0]
+    assert len(cube) == n_pairs + pdf.s.nunique() + pdf.y.nunique() + 1
