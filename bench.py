@@ -27,7 +27,9 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_local_supplier_volume",
     "q06_forecast_revenue",
+    "q07_volume_shipping",
     "q10_returned_items",
+    "q18_large_volume_customer",
     "groupby_multi_agg",
     # window / time-series
     "resample_hourly_events",
@@ -36,8 +38,15 @@ HEADLINE = [
     # LLM-data extensions
     "dedup_exact_clusters",
     "dedup_neardup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "text_quality_by_source",
     "ann_bruteforce_cosine_topk",
+    "ann_ivf_cosine_topk",
+    "multimodal_decode_features",
+    # streaming
+    "stream_sessionize_users",
 ]
 
 N_RUNS = 3

@@ -93,17 +93,24 @@ def cluster_sums(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Integer sum-vector per cluster, exploded as (cluster, u, s).
+    """Integer sum-vector per cluster as (cluster, sv array<bigint>, sn2).
 
     The un-normalized sum vector IS the centroid for cosine routing:
     cos(p, S/n) == cos(p, S) — the 1/n scale cancels — so routing never
-    needs a float division, keeping it exact.
+    needs a float division, keeping it exact.  One corpus pass (posexplode →
+    partial-agg by (cluster, dim)), then re-assembled into a dense array so
+    downstream routing is a tiny broadcast relation of nclusters rows.
     """
-    return (
+    per_dim = (
         corpus.select(F.col(cluster_col), F.posexplode(quantize(F.col(vec_col))).alias("u", "x"))
         .groupBy(cluster_col, "u")
         .agg(F.sum("x").alias("s"))
     )
+    return per_dim.groupBy(cluster_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("u", "s"))), lambda st: st["s"]
+        ).alias("sv")
+    ).withColumn("sn2", norm2_q(F.col("sv")))
 
 
 def ivf_topk(
@@ -124,27 +131,18 @@ def ivf_topk(
     nclusters × dim integers.
     """
     sums = cluster_sums(corpus, cluster_col, id_col, vec_col)
-    sn = sums.groupBy(cluster_col).agg(F.sum(F.col("s") * F.col("s")).alias("sn2"))
-    p_expl = probes.select(
-        F.col(probe_id), F.posexplode(quantize(F.col(vec_col))).alias("u", "qp")
-    )
-    pn = p_expl.groupBy(probe_id).agg(F.sum(F.col("qp") * F.col("qp")).alias("pn2"))
-    route_dots = (
-        p_expl.join(F.broadcast(sums), "u")
-        .groupBy(probe_id, cluster_col)
-        .agg(F.sum(F.col("qp") * F.col("s")).alias("dot"))
-    )
-    route_cos = (
-        route_dots.join(F.broadcast(sn), cluster_col)
-        .join(F.broadcast(pn), probe_id)
-        .select(
-            probe_id,
-            cluster_col,
-            (
-                F.col("dot").cast("double")
-                / (F.sqrt(F.col("sn2").cast("double")) * F.sqrt(F.col("pn2").cast("double")))
-            ).alias("rcos"),
-        )
+    pq = probes.select(F.col(probe_id), quantize(F.col(vec_col)).alias("__qp__"))
+    # routing relation = probes × nclusters rows — all array math, no explode
+    route_cos = pq.crossJoin(F.broadcast(sums)).select(
+        probe_id,
+        cluster_col,
+        (
+            dot_q(F.col("__qp__"), F.col("sv")).cast("double")
+            / (
+                F.sqrt(F.col("sn2").cast("double"))
+                * F.sqrt(norm2_q(F.col("__qp__")).cast("double"))
+            )
+        ).alias("rcos"),
     )
     wr = W.partitionBy(probe_id).orderBy(F.desc("rcos"), F.asc(cluster_col))
     routed = (
