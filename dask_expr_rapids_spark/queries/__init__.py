@@ -18,5 +18,6 @@ from . import dedup_ext  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
+from . import breadth  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register", "queries", "oracle_sql"]

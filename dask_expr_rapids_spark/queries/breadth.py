@@ -1,0 +1,359 @@
+"""Coverage breadth: the remaining SURVEY.md §2 operator families as named
+oracle-checked queries — UDTF/explode (§2.3), string & datetime accessors
+(§2.4), grouping sets (§2.6 extension), window-function breadth (§2.10
+extension), monotonicity probes (§2.5), IO round-trips (§2.1), and the
+rolling-hash document fingerprint (text-analysis extension).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import davg_expr, dsum, dsum_expr, pround
+from ..sources.tables import load_table, read_csv, read_parquet, to_parquet
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# Explode (the reference's only UDTF-ish op, _expr.py:1296-1306): split
+# document text into words, one row per word, with position.
+# --------------------------------------------------------------------------
+@register(
+    "explode_doc_words",
+    r"""
+    SELECT doc_id, CAST(u.pos AS INT) AS pos, u.word
+    FROM (
+      SELECT doc_id,
+             regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+               AS words
+      FROM documents WHERE trim(text) <> '' AND doc_id < 50
+    ) d,
+    LATERAL (SELECT unnest(generate_series(1, len(words))) - 1 AS pos,
+                    unnest(words) AS word) u
+    """,
+)
+def explode_doc_words(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        d.filter((F.trim("text") != "") & (F.col("doc_id") < 50))
+        .select("doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "word"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "word")
+    )
+
+
+# --------------------------------------------------------------------------
+# String accessor breadth (reference _str_accessor.py:21-183): one query
+# exercising upper/lower/substr/replace/pad/contains/split-expand/length.
+# --------------------------------------------------------------------------
+@register(
+    "str_accessor_showcase",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS uc,
+           lower(c_mktsegment) AS lseg,
+           substr(c_name, 1, 8) AS prefix8,
+           replace(c_name, 'Customer', 'Cust') AS replaced,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS zfilled,
+           (c_mktsegment LIKE '%ING%') AS has_ing,
+           length(c_name) AS name_len,
+           string_split(c_name, '#')[1] AS split_head,
+           concat(c_mktsegment, '|', CAST(c_nationkey AS VARCHAR)) AS joined
+    FROM customer
+    WHERE c_custkey <= 500
+    """,
+)
+def str_accessor_showcase(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") <= 500).select(
+        "c_custkey",
+        F.upper("c_name").alias("uc"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("replaced"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("zfilled"),
+        F.col("c_mktsegment").contains("ING").alias("has_ing"),
+        F.length("c_name").alias("name_len"),
+        F.split("c_name", "#").getItem(0).alias("split_head"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("joined"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Datetime accessor breadth (reference _datetime.py:15-72).
+# --------------------------------------------------------------------------
+@register(
+    "dt_accessor_showcase",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           STRFTIME(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           STRFTIME(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS iso_day
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+)
+def dt_accessor_showcase(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.quarter(d).alias("q"),
+        # pandas dayofweek is Mon=0; SQL dow is Sun=0 — expose SQL's (doc'd)
+        (F.dayofweek(d) - 1).alias("dow"),
+        F.dayofyear(d).alias("doy"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets (cube/rollup sibling — absent in reference, free in Spark).
+# --------------------------------------------------------------------------
+@register(
+    "grouping_sets_status_year",
+    f"""
+    SELECT o_orderstatus,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {dsum_expr('o_totalprice')} AS total,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (CAST(year(o_orderdate) AS BIGINT)))
+    """,
+)
+def grouping_sets_status_year(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    o = o.withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_year,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total,
+               COUNT(*) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_year))
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Window-function breadth: lead / first_value / last_value / ntile /
+# percent_rank over per-customer order sequences.
+# --------------------------------------------------------------------------
+@register(
+    "window_fn_breadth",
+    """
+    SELECT o_orderkey, o_custkey,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           ntile(4) OVER w AS quartile,
+           (CAST(floor(percent_rank() OVER w * 1000000.0 + 0.5) AS DOUBLE)
+             / 1000000.0) AS pct_rank
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_fn_breadth(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IsMonotonic (reference _reductions.py:1208-1217): per-user check that
+# event values never decrease in time order.
+# --------------------------------------------------------------------------
+@register(
+    "monotonic_user_events",
+    """
+    WITH flags AS (
+      SELECT user_id,
+             CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS inc
+      FROM events
+    )
+    SELECT user_id,
+           (MIN(inc) = 1) AS ts_strictly_increasing,
+           COUNT(*) AS n_events
+    FROM flags
+    GROUP BY user_id
+    """,
+)
+def monotonic_user_events(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    inc = F.when(
+        F.lag("ts").over(w).isNull() | (F.col("ts") > F.lag("ts").over(w)), 1
+    ).otherwise(0)
+    return (
+        e.select("user_id", inc.alias("inc"))
+        .groupBy("user_id")
+        .agg(
+            (F.min("inc") == 1).alias("ts_strictly_increasing"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# IO round-trips (§2.1 ReadCSV / ToParquet / ReadParquet): write the nation
+# dim through each format, read it back, aggregate — proves the connector
+# path end-to-end inside one oracle-checked query.
+# --------------------------------------------------------------------------
+@register(
+    "csv_roundtrip_nation",
+    """
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def csv_roundtrip_nation(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="spark_graft_csv_")
+    path = os.path.join(d, "nation_csv")
+    n.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, header=True)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+    )
+
+
+@register(
+    "parquet_roundtrip_supplier",
+    f"""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           {dsum_expr('s_acctbal')} AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def parquet_roundtrip_supplier(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    d = tempfile.mkdtemp(prefix="spark_graft_pq_")
+    path = os.path.join(d, "supplier_pq")
+    to_parquet(s, path, partition_on=["s_nationkey"])
+    back = read_parquet(spark, path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        dsum("s_acctbal", "total_bal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling-hash document fingerprint (winnowing-lite): polynomial rolling
+# hash over char 8-grams; fingerprint = the 4 smallest distinct gram hashes
+# (min-sampling).  Docs sharing a fingerprint component are near-dup
+# candidates — the MOSS/winnowing building block (Schleimer et al. '03).
+# --------------------------------------------------------------------------
+_FP_N = 8
+_FP_K = 4
+_FP_B = 257
+_FP_M = 1_000_000_007
+
+# Polynomial hash written as explicit positional arithmetic so both engines
+# compute the identical value: sum(code(c_i) * B^(n-1-i)) % M, with each
+# power reduced mod M (B^7 < 2^57 and 8 * (M-1) * 256 < 2^63 — no overflow).
+_POWS = [pow(_FP_B, _FP_N - 1 - i, _FP_M) for i in range(_FP_N)]
+
+
+def _gram_hash_sql(g: str) -> str:
+    terms = " + ".join(
+        f"CAST(ord(substr({g}, {i + 1}, 1)) % 256 AS BIGINT) * {_POWS[i]}"
+        for i in range(_FP_N)
+    )
+    return f"(({terms}) % {_FP_M})"
+
+
+_NORM_DD = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+@register(
+    "text_fingerprint_rolling_hash",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_DD} AS t
+      FROM documents WHERE len(trim(text)) >= {_FP_N}
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             {_gram_hash_sql(f"substr(t, CAST(u AS INT), {_FP_N})")} AS h
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - {_FP_N - 1} + 1)) AS u FROM norm)
+    ),
+    ranked AS (
+      SELECT doc_id, h,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+      FROM grams
+    )
+    SELECT doc_id,
+           CAST(MIN(CASE WHEN rn = 1 THEN h END) AS BIGINT) AS fp1,
+           CAST(MIN(CASE WHEN rn = 2 THEN h END) AS BIGINT) AS fp2,
+           CAST(MIN(CASE WHEN rn = 3 THEN h END) AS BIGINT) AS fp3,
+           CAST(MIN(CASE WHEN rn = 4 THEN h END) AS BIGINT) AS fp4
+    FROM ranked WHERE rn <= {_FP_K}
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint_rolling_hash(spark, sf_dir):
+    """Min-sampled polynomial rolling-hash fingerprint per document.
+
+    Plan: one explode to char 8-grams with the hash computed positionally
+    (JVM arithmetic, no UDF), distinct within doc, then a single groupBy
+    taking the 4 smallest hashes via sort_array(collect_set)[0:4] — one
+    shuffle of (doc_id, hash) pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = d.filter(F.length(F.trim("text")) >= _FP_N).select("doc_id", norm.alias("t"))
+    gram = F.col("t").substr(F.col("u"), F.lit(_FP_N))
+    ghash = (
+        sum(
+            (F.ascii(F.substring(F.col("g"), i + 1, 1)) % 256).cast("long") * _POWS[i]
+            for i in range(_FP_N)
+        )
+        % _FP_M
+    )
+    grams = (
+        base.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("t") - (_FP_N - 1))).alias("u"),
+            "t",
+        )
+        .select("doc_id", gram.alias("g"))
+        .select("doc_id", ghash.alias("h"))
+    )
+    mins = grams.groupBy("doc_id").agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, _FP_K).alias("fps")
+    )
+    return mins.select(
+        "doc_id",
+        *[F.element_at("fps", i + 1).alias(f"fp{i + 1}") for i in range(_FP_K)],
+    )
