@@ -1,0 +1,108 @@
+"""Physical-plan shape assertions (SURVEY.md §5 rebuild strategy): where we
+rely on a Catalyst behavior for scale, pin it — pushdown reaching the scan,
+broadcast join selection, partial/final aggregation, top-k as
+TakeOrderedAndProject, and a global no-row-at-a-time-Python rule.
+
+These are the Spark analog of the reference's optimizer-structure tests
+(/root/reference/dask_expr/io/tests/test_io.py:117-123 asserts projections
+land inside ReadParquet operands; tests/test_fusion.py asserts fused task
+counts)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_expr_rapids_spark.queries import REGISTRY
+from dask_expr_rapids_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    l = load_table(spark, SF_DIR, "lineitem")
+    df = l.filter(F.col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)" in plan
+    # scan must read ONLY the two projected columns
+    readschema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in readschema and "l_quantity" in readschema
+    assert "l_extendedprice" not in readschema and "l_shipdate" not in readschema
+
+
+def test_broadcast_join_selected_for_dims(spark):
+    plan = plan_of(REGISTRY["q05_local_supplier_volume"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the small-dim joins must NOT all be shuffle joins
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_partial_final_aggregation(spark):
+    df = REGISTRY["q01_pricing_summary"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    # partial (map-side) + final HashAggregate pair around the exchange
+    assert plan.count("HashAggregate") >= 2
+    # whole-stage codegen spans the agg pipeline (visible in codegen mode)
+    assert "WholeStageCodegen" in plan_of(df, "codegen")
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(REGISTRY["topk_orders_by_price"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aqe_enabled_on_shuffle_queries(spark):
+    plan = plan_of(REGISTRY["groupby_multi_agg"].fn(spark, SF_DIR), "simple")
+    assert "AdaptiveSparkPlan" in plan
+
+
+def test_semi_anti_join_strategies(spark):
+    semi = plan_of(REGISTRY["join_semi_open_orders"].fn(spark, SF_DIR))
+    anti = plan_of(REGISTRY["join_anti_no_big_orders"].fn(spark, SF_DIR))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No registry query may contain an unconstrained CartesianProduct —
+    the one O(n²) plan shape that cannot survive 100 TB.  (Broadcast
+    nested-loop against a tiny broadcast side is acceptable.)"""
+    offenders = []
+    for name, q in sorted(REGISTRY.items()):
+        if name.startswith("stream_"):
+            continue  # streaming plans materialize through a sink
+        plan = plan_of(q.fn(spark, SF_DIR), "simple")
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_no_row_at_a_time_python_udfs(spark):
+    """Python must only appear Arrow-batched (MapInPandas / ArrowEvalPython)
+    — BatchEvalPython (pickled row-at-a-time UDF) is banned engine-wide."""
+    offenders = []
+    for name, q in sorted(REGISTRY.items()):
+        if name.startswith("stream_"):
+            continue
+        plan = plan_of(q.fn(spark, SF_DIR), "simple")
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDF in: {offenders}"
+
+
+def test_exchange_reuse_in_selfjoin(spark):
+    """Self-join pipelines (minhash bands) must reuse the persisted/cached
+    signature relation rather than recompute the full lineage twice."""
+    df = REGISTRY["dedup_neardup_minhash_lsh"].fn(spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "InMemoryTableScan" in plan or "ReusedExchange" in plan
