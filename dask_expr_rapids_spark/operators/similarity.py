@@ -113,6 +113,58 @@ def cluster_sums(
     ).withColumn("sn2", norm2_q(F.col("sv")))
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over quantized vectors — the coarse
+    quantizer that gives IVF real geometric clusters when no cluster
+    column exists in the data.
+
+    Init = the ``k`` lowest-id vectors (seedless, reproducible).  Each
+    iteration: assign every vector to its nearest centroid (squared-L2 on
+    quantized ints — exact), recompute centroid means per dimension.  The
+    centroid relation is k×dim — always broadcast; the corpus is scanned
+    once per iteration, never shuffled except the (id → cluster) partial
+    agg.  ``iters`` is a small constant: this is a quantizer, not a
+    convergence-grade clustering.
+    """
+    q = corpus.select(F.col(id_col), quantize(F.col(vec_col)).alias("__qv__"))
+    cents = q.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("__cid__"), F.col("__qv__").alias("__cv__")
+    )
+    for _ in range(iters):
+        d2 = _isum(F.zip_with("__qv__", "__cv__", lambda x, y: (x - y) * (x - y)))
+        assign = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("__d2__", d2)
+            .withColumn(
+                "__rn__",
+                F.row_number().over(
+                    W.partitionBy(id_col).orderBy(F.asc("__d2__"), F.asc("__cid__"))
+                ),
+            )
+            .filter(F.col("__rn__") == 1)
+            .select(id_col, "__cid__", "__qv__")
+        )
+        per_dim = (
+            assign.select("__cid__", F.posexplode("__qv__").alias("u", "x"))
+            .groupBy("__cid__", "u")
+            .agg(F.avg("x").alias("m"))
+        )
+        cents = per_dim.groupBy("__cid__").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("u", "m"))),
+                lambda st: F.round(st["m"], 0).cast("long"),
+            ).alias("__cv__")
+        )
+    return assign.select(F.col(id_col), F.col("__cid__").alias(out_col))
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
