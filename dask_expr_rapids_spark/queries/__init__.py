@@ -19,5 +19,6 @@ from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import breadth  # noqa: E402,F401
+from . import frame_api  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register", "queries", "oracle_sql"]
