@@ -310,6 +310,44 @@ class Series:
             expr = F.when(self._expr == F.lit(k), F.lit(v)).otherwise(expr)
         return Series(self._frame, expr, self.name)
 
+    def replace(self, to_replace, value=None) -> "Series":
+        """Reference ``Replace`` (``_expr.py:1027``): scalar or dict form."""
+        mapping = to_replace if isinstance(to_replace, Mapping) else {to_replace: value}
+        expr = self._expr
+        for k, v in mapping.items():
+            expr = F.when(self._expr == F.lit(k), F.lit(v)).otherwise(expr)
+        return Series(self._frame, expr, self.name)
+
+    def unique(self) -> list:
+        """Reference ``Unique`` (``_reductions.py:478-509``) — distinct
+        values collected to the driver (a result set, like compute())."""
+        return [
+            r[0]
+            for r in self._frame._sdf.select(self._expr.alias("v")).distinct().collect()
+        ]
+
+    def nlargest(self, n: int = 5) -> "SparkFrame":
+        sdf = self._frame._sdf.select(F.col(INDEX), self._expr.alias(self.name))
+        return SparkFrame(sdf.orderBy(F.desc(self.name), F.asc(INDEX)).limit(n))
+
+    def nsmallest(self, n: int = 5) -> "SparkFrame":
+        sdf = self._frame._sdf.select(F.col(INDEX), self._expr.alias(self.name))
+        return SparkFrame(sdf.orderBy(F.asc(self.name), F.asc(INDEX)).limit(n))
+
+    def describe(self) -> pd.Series:
+        """Reference ``DescribeNumeric`` (``_describe.py:16-94``)."""
+        row = self._frame._sdf.agg(
+            F.count(self._expr).alias("count"),
+            F.avg(self._expr).alias("mean"),
+            F.stddev_samp(self._expr).alias("std"),
+            F.min(self._expr).alias("min"),
+            F.expr(f"percentile({self.name}, 0.25)").alias("25%"),
+            F.expr(f"percentile({self.name}, 0.5)").alias("50%"),
+            F.expr(f"percentile({self.name}, 0.75)").alias("75%"),
+            F.max(self._expr).alias("max"),
+        ).collect()[0]
+        return pd.Series(row.asDict(), name=self.name)
+
     def rank(self, method: str = "min", ascending: bool = True) -> "Series":
         order = F.asc(self._expr) if ascending else F.desc(self._expr)
         w = W.orderBy(order)
@@ -583,6 +621,42 @@ class SparkFrame:
 
     def sample(self, frac: float, seed: int | None = None) -> "SparkFrame":
         return SparkFrame(self._sdf.sample(fraction=frac, seed=seed))
+
+    def replace(self, to_replace: Mapping, subset=None) -> "SparkFrame":
+        return SparkFrame(
+            self._sdf.replace(dict(to_replace), subset=_as_list(subset) or None)
+        )
+
+    def isna(self) -> "SparkFrame":
+        sdf = self._sdf.select(
+            INDEX, *[F.col(c).isNull().alias(c) for c in self.columns]
+        )
+        return SparkFrame(sdf)
+
+    def align(self, other: "SparkFrame", join: str = "outer") -> tuple["SparkFrame", "SparkFrame"]:
+        """Reference alignment (``_align.py:9``, ``_expr.py:797-817``):
+        both frames re-indexed onto the joined index domain."""
+        idx = (
+            self._sdf.select(INDEX)
+            .join(other._sdf.select(INDEX), INDEX, join)
+            .distinct()
+        )
+        left = SparkFrame(idx.join(self._sdf, INDEX, "left"))
+        right = SparkFrame(idx.join(other._sdf, INDEX, "left"))
+        return left, right
+
+    @property
+    def dtypes(self) -> dict[str, str]:
+        return {
+            f.name: f.dataType.simpleString()
+            for f in self._sdf.schema.fields
+            if f.name != INDEX
+        }
+
+    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
+        self._sdf.drop(INDEX).write.mode(mode).option(
+            "header", str(header).lower()
+        ).csv(path)
 
     def drop_duplicates(self, subset=None) -> "SparkFrame":
         cols = _as_list(subset) or self.columns

@@ -291,6 +291,37 @@ def q12_priority_by_shipyear(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# q13-shaped: customer order-count distribution — left outer join + two-level
+# aggregation (the histogram-of-histograms pattern).
+# --------------------------------------------------------------------------
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
 # q14-shaped: promo revenue percentage in one month (ratio of conditional sum).
 # --------------------------------------------------------------------------
 @register(

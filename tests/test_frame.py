@@ -442,3 +442,38 @@ def test_rollup_cube(sf, pdf):
     cube = sf.cube("s", "y").agg({"z": "sum"}).to_pandas()
     n_pairs = pdf.groupby(["s", "y"]).size().shape[0]
     assert len(cube) == n_pairs + pdf.s.nunique() + pdf.y.nunique() + 1
+
+
+def test_series_replace_unique_nlargest(sf, pdf):
+    eq_series(sf["y"].replace({0: 100, 1: 101}), pdf.y.replace({0: 100, 1: 101}))
+    assert sorted(sf["s"].unique()) == sorted(pdf.s.unique())
+    got = sf["z"].nlargest(3).to_pandas()
+    assert sorted(got["z"].tolist()) == sorted(pdf.z.nlargest(3).tolist())
+
+
+def test_series_describe(sf, pdf):
+    got = sf["z"].describe()
+    want = pdf.z.describe()
+    for k in ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]:
+        assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+
+def test_frame_replace_isna_dtypes(spark):
+    p = pd.DataFrame({"a": [1.0, None, 3.0], "b": ["x", "y", "x"]})
+    f = SparkFrame.from_pandas(spark, p)
+    got = f.replace({"x": "z"}).to_pandas().sort_index()
+    assert got["b"].tolist() == ["z", "y", "z"]
+    na = f.isna().to_pandas().sort_index()
+    assert na["a"].tolist() == [False, True, False]
+    assert f.dtypes["a"] == "double" and f.dtypes["b"] == "string"
+
+
+def test_align(spark):
+    p1 = pd.DataFrame({"a": [1.0, 2.0]}, index=[0, 1])
+    p2 = pd.DataFrame({"b": [3.0, 4.0]}, index=[1, 2])
+    f1, f2 = SparkFrame.from_pandas(spark, p1), SparkFrame.from_pandas(spark, p2)
+    l, r = f1.align(f2)
+    lp, rp = l.to_pandas().sort_index(), r.to_pandas().sort_index()
+    w1, w2 = p1.align(p2)
+    assert lp.index.tolist() == w1.index.tolist()
+    assert rp["b"].fillna(-1).tolist() == w2.b.fillna(-1).tolist()
