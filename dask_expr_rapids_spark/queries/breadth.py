@@ -228,6 +228,24 @@ def monotonic_user_events(spark, sf_dir):
 # dim through each format, read it back, aggregate — proves the connector
 # path end-to-end inside one oracle-checked query.
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# Synthetic timeseries source (reference Timeseries, datasets.py:13-241) —
+# rows-only check: the seeded JVM RNG is engine-specific, so no SQL twin.
+# --------------------------------------------------------------------------
+@register("timeseries_source_agg", None)
+def timeseries_source_agg(spark, sf_dir):
+    """Generate 100k rows JVM-side, aggregate per name — exercises the
+    spark.range generator path end-to-end (deterministic per seed)."""
+    from ..sources.tables import timeseries
+
+    ts = timeseries(spark, start="2024-01-01", n_rows=100_000, freq_seconds=1)
+    return ts.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("avg_x"),
+        F.max("y").alias("max_y"),
+    )
+
+
 @register(
     "csv_roundtrip_nation",
     """
