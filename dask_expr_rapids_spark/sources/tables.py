@@ -81,6 +81,13 @@ def from_pandas(spark: SparkSession, pdf: pd.DataFrame, npartitions: int | None 
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — not a Spark type.  A
+        # session built without the legacy conf would throw
+        # PARQUET_TYPE_ILLEGAL at read time, so set it defensively here
+        # (it is a runtime-settable SQL conf); the ns→us conversion below
+        # then produces a normal timestamp column.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS) → read as ns-longs
     # (legacy.parquet.nanosAsLong) and floor-converted to a microsecond

@@ -38,6 +38,9 @@ def read_events_stream(
     (``ts`` may arrive as nanosecond longs under ``nanosAsLong`` — converted
     to microsecond timestamps exactly like ``sources.tables.load_table``).
     """
+    # events.ts is TIMESTAMP(NANOS) parquet — ensure the legacy read path
+    # regardless of how the caller's session was built (runtime-settable).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
