@@ -449,6 +449,21 @@ class Rolling:
     def var(self):
         return self._agg(F.var_samp)
 
+    def median(self):
+        return self.quantile(0.5)
+
+    def quantile(self, q: float):
+        """Exact windowed percentile (aggregate-as-window-function) —
+        reference RollingQuantile (``_rolling.py``); bounded window sizes
+        keep the exact computation cheap."""
+        return self._agg(lambda c: F.expr(f"percentile({self._s.name}, {q})"))
+
+    def skew(self):
+        return self._agg(F.skewness)
+
+    def kurt(self):
+        return self._agg(F.kurtosis)
+
 
 class Resampler:
     """Time-bucket aggregation container (reference ``Resampler``,

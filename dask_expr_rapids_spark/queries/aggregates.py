@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg, davg_expr, dsum, dsum_expr
+from ..functions.exact import davg, davg_expr, dec_to_double, dsum, dsum_expr
 from ..sources.tables import load_table
 from .registry import register
 
@@ -55,11 +55,13 @@ def agg_global_stats(spark, sf_dir):
 # double→decimal casts are not (Spark converts the shortest repr, DuckDB the
 # exact binary value — they diverge on product terms).  Variance is then
 # cents-exact, rescaled by 100^2.
-_VAR_SQL = """
+from ..functions.exact import dec2dbl_expr as _d2d  # noqa: E402
+
+_VAR_SQL = f"""
     WITH s AS (
       SELECT o_orderpriority,
-             CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS sm,
-             CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+             {_d2d('SUM(CAST(q AS DECIMAL(38,0)))', 0)} AS sm,
+             {_d2d('SUM(CAST(q * q AS DECIMAL(38,0)))', 0)} AS sq,
              CAST(COUNT(*) AS DOUBLE) AS n
       FROM (SELECT o_orderpriority,
                    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS q
@@ -81,8 +83,10 @@ def agg_var_std(spark, sf_dir):
         o.select("o_orderpriority", q.alias("q"))
         .groupBy("o_orderpriority")
         .agg(
-            F.sum(F.col("q").cast("decimal(38,0)")).cast("double").alias("sm"),
-            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).cast("double").alias("sq"),
+            dec_to_double(F.sum(F.col("q").cast("decimal(38,0)")), 0).alias("sm"),
+            dec_to_double(
+                F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")), 0
+            ).alias("sq"),
             F.count(F.lit(1)).cast("double").alias("n"),
         )
     )
@@ -330,14 +334,14 @@ def groupby_median_quantity(spark, sf_dir):
 # Same integer-quantization scheme as agg_var_std: quantity is
 # integer-valued (×1), price is quantized to cents (×100); cov rescales by
 # 100, corr is scale-invariant.
-_COVCORR_SQL = """
+_COVCORR_SQL = f"""
     WITH s AS (
       SELECT l_returnflag,
-             CAST(SUM(CAST(qx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(qy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(qx * qy AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(qx * qx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(qy * qy AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             {_d2d('SUM(CAST(qx AS DECIMAL(38,0)))', 0)} AS sx,
+             {_d2d('SUM(CAST(qy AS DECIMAL(38,0)))', 0)} AS sy,
+             {_d2d('SUM(CAST(qx * qy AS DECIMAL(38,0)))', 0)} AS sxy,
+             {_d2d('SUM(CAST(qx * qx AS DECIMAL(38,0)))', 0)} AS sxx,
+             {_d2d('SUM(CAST(qy * qy AS DECIMAL(38,0)))', 0)} AS syy,
              CAST(COUNT(*) AS DOUBLE) AS n
       FROM (SELECT l_returnflag,
                    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qx,
@@ -361,11 +365,11 @@ def groupby_cov_corr(spark, sf_dir):
     base = l.select("l_returnflag", qx.alias("qx"), qy.alias("qy"))
     x, y = F.col("qx"), F.col("qy")
     s = base.groupBy("l_returnflag").agg(
-        F.sum(x.cast("decimal(38,0)")).cast("double").alias("sx"),
-        F.sum(y.cast("decimal(38,0)")).cast("double").alias("sy"),
-        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
-        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
-        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+        dec_to_double(F.sum(x.cast("decimal(38,0)")), 0).alias("sx"),
+        dec_to_double(F.sum(y.cast("decimal(38,0)")), 0).alias("sy"),
+        dec_to_double(F.sum((x * y).cast("decimal(38,0)")), 0).alias("sxy"),
+        dec_to_double(F.sum((x * x).cast("decimal(38,0)")), 0).alias("sxx"),
+        dec_to_double(F.sum((y * y).cast("decimal(38,0)")), 0).alias("syy"),
         F.count(F.lit(1)).cast("double").alias("n"),
     )
     cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1) / 100.0

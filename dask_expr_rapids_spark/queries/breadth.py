@@ -142,7 +142,7 @@ def grouping_sets_status_year(spark, sf_dir):
     return spark.sql(
         """
         SELECT o_orderstatus, o_year,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total,
+               ((CAST(floor(CAST((SUM(CAST(o_totalprice AS DECIMAL(30,8)))) * 100000000 AS DECIMAL(38,0)) / 4294967296) AS DOUBLE) * 4294967296.0 + CAST(CAST((SUM(CAST(o_totalprice AS DECIMAL(30,8)))) * 100000000 AS DECIMAL(38,0)) - floor(CAST((SUM(CAST(o_totalprice AS DECIMAL(30,8)))) * 100000000 AS DECIMAL(38,0)) / 4294967296) * 4294967296 AS DOUBLE)) / 100000000.0) AS total,
                COUNT(*) AS n
         FROM __gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_year))

@@ -31,7 +31,7 @@ def _frame(spark, sf_dir, table: str, index: str | None = None) -> SparkFrame:
     "frame_api_groupby_pipeline",
     """
     SELECT o_orderstatus,
-           CAST(SUM(CAST(o_totalprice * 0.9 AS DECIMAL(30,8))) AS DOUBLE) AS disc_sum,
+           ((CAST(floor(CAST((SUM(CAST(o_totalprice * 0.9 AS DECIMAL(30,8)))) * 100000000 AS DECIMAL(38,0)) / 4294967296) AS DOUBLE) * 4294967296.0 + CAST(CAST((SUM(CAST(o_totalprice * 0.9 AS DECIMAL(30,8)))) * 100000000 AS DECIMAL(38,0)) - floor(CAST((SUM(CAST(o_totalprice * 0.9 AS DECIMAL(30,8)))) * 100000000 AS DECIMAL(38,0)) / 4294967296) * 4294967296 AS DOUBLE)) / 100000000.0) AS disc_sum,
            CAST(COUNT(o_totalprice) AS BIGINT) AS n
     FROM orders
     WHERE o_totalprice > 50000
@@ -45,9 +45,11 @@ def frame_api_groupby_pipeline(spark, sf_dir):
     # aggregating so the sum is shuffle-order independent (functions/exact.py)
     f = f.assign(disc=(f["o_totalprice"] * 0.9).astype("decimal(30,8)"))
     out = f.groupby("o_orderstatus").agg({"disc": "sum", "o_totalprice": "count"})
+    from ..functions.exact import dec_to_double
+
     sdf = out.to_spark().select(
         "o_orderstatus",
-        F.col("disc").cast("double").alias("disc_sum"),
+        dec_to_double(F.col("disc"), 8).alias("disc_sum"),
         F.col("o_totalprice").alias("n"),
     )
     return sdf

@@ -477,3 +477,18 @@ def test_align(spark):
     w1, w2 = p1.align(p2)
     assert lp.index.tolist() == w1.index.tolist()
     assert rp["b"].fillna(-1).tolist() == w2.b.fillna(-1).tolist()
+
+
+def test_rolling_median_quantile(sf, pdf):
+    eq_series(sf["z"].rolling(5).median(), pdf.z.rolling(5).median())
+    eq_series(sf["z"].rolling(5).quantile(0.5), pdf.z.rolling(5).quantile(0.5))
+
+
+def test_rolling_skew_kurt_compute(sf, pdf):
+    # Spark exposes population skewness/kurtosis; pandas rolling uses
+    # sample-adjusted estimators — assert shape/nullity, not equality
+    # (documented delta in PARITY.md).
+    got = sf["z"].rolling(10).skew().to_pandas()
+    assert got.iloc[:9].isna().all() and got.iloc[9:].notna().all()
+    got_k = sf["z"].rolling(10).kurt().to_pandas()
+    assert got_k.iloc[9:].notna().all()
