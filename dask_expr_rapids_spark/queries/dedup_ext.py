@@ -63,13 +63,26 @@ _VOTE_SQL = ",\n           ".join(
     )
     for b in range(_SIM_BITS)
 )
-_BITSTR_SQL = " || ".join(
-    f"(CASE WHEN 2 * v{b} > n THEN '1' ELSE '0' END)" for b in range(_SIM_BITS)
-)
+# Signature = 4×16-bit integers (one per band): integer band keys make the
+# LSH self-join a cheap int equi-join, and Hamming distance collapses to
+# bit_count(xor) — no per-character string work anywhere.
+_BAND_INT_SQL = [
+    "("
+    + " + ".join(
+        f"(CASE WHEN 2 * v{k * _BITS_PER_BAND + j} > n "
+        f"THEN {1 << (_BITS_PER_BAND - 1 - j)} ELSE 0 END)"
+        for j in range(_BITS_PER_BAND)
+    )
+    + f") AS i{k}"
+    for k in range(_SIM_BANDS)
+]
 _SIM_BAND_UNION_SQL = "\n      UNION ALL\n".join(
-    f"      SELECT doc_id, '{b}|' || substr(sig, {b * _BITS_PER_BAND + 1}, "
-    f"{_BITS_PER_BAND}) AS bkey FROM sigs"
+    f"      SELECT doc_id, {b} AS band, i{b} AS bkey FROM sigs"
     for b in range(_SIM_BANDS)
+)
+_HAMMING_SQL = " + ".join(
+    f"bit_count(xor(CAST(s1.i{k} AS BIGINT), CAST(s2.i{k} AS BIGINT)))"
+    for k in range(_SIM_BANDS)
 )
 
 _SIMHASH_SQL = f"""
@@ -85,24 +98,21 @@ _SIMHASH_SQL = f"""
            COUNT(*) AS n
       FROM digits GROUP BY doc_id
     ),
-    sigs AS (SELECT doc_id, {_BITSTR_SQL} AS sig FROM votes),
+    sigs AS (SELECT doc_id, {", ".join(_BAND_INT_SQL)} FROM votes),
     bands AS (
 {_SIM_BAND_UNION_SQL}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                              AND a.doc_id < b.doc_id
     )
     SELECT c.id1, c.id2,
-           CAST(len(list_filter(range(1, {_SIM_BITS + 1}),
-                x -> substr(s1.sig, CAST(x AS INT), 1)
-                  <> substr(s2.sig, CAST(x AS INT), 1))) AS BIGINT) AS hamming
+           CAST({_HAMMING_SQL} AS BIGINT) AS hamming
     FROM cand c
     JOIN sigs s1 ON c.id1 = s1.doc_id
     JOIN sigs s2 ON c.id2 = s2.doc_id
-    WHERE len(list_filter(range(1, {_SIM_BITS + 1}),
-              x -> substr(s1.sig, CAST(x AS INT), 1)
-                <> substr(s2.sig, CAST(x AS INT), 1))) <= {_HAMMING_MAX}
+    WHERE {_HAMMING_SQL} <= {_HAMMING_MAX}
 """
 
 
@@ -137,36 +147,39 @@ def dedup_simhash(spark, sf_dir):
         ],
         F.count(F.lit(1)).alias("n"),
     )
-    sig = F.concat(
-        *[
-            F.when(2 * F.col(f"v{b}") > F.col("n"), "1").otherwise("0")
-            for b in range(_SIM_BITS)
-        ]
-    )
-    sigs = votes.select("doc_id", sig.alias("sig")).persist()
+    band_int = [
+        sum(
+            F.when(
+                2 * F.col(f"v{k * _BITS_PER_BAND + j}") > F.col("n"),
+                1 << (_BITS_PER_BAND - 1 - j),
+            ).otherwise(0)
+            for j in range(_BITS_PER_BAND)
+        ).alias(f"i{k}")
+        for k in range(_SIM_BANDS)
+    ]
+    sigs = votes.select("doc_id", *band_int).persist()
     bands = None
     for b in range(_SIM_BANDS):
         part = sigs.select(
-            "doc_id",
-            F.concat(
-                F.lit(f"{b}|"),
-                F.substring("sig", b * _BITS_PER_BAND + 1, _BITS_PER_BAND),
-            ).alias("bkey"),
+            "doc_id", F.lit(b).alias("band"), F.col(f"i{b}").alias("bkey")
         )
         bands = part if bands is None else bands.unionByName(part)
     a, bb = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(bb, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
-    s1 = sigs.select(F.col("doc_id").alias("id1"), F.col("sig").alias("sig1"))
-    s2 = sigs.select(F.col("doc_id").alias("id2"), F.col("sig").alias("sig2"))
-    hamming = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(_SIM_BITS)),
-            lambda x: F.col("sig1").substr(x, F.lit(1)) != F.col("sig2").substr(x, F.lit(1)),
-        )
+    s1 = sigs.select(F.col("doc_id").alias("id1"), *[F.col(f"i{k}").alias(f"a{k}") for k in range(_SIM_BANDS)])
+    s2 = sigs.select(F.col("doc_id").alias("id2"), *[F.col(f"i{k}").alias(f"b{k}") for k in range(_SIM_BANDS)])
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").cast("long").bitwiseXOR(F.col(f"b{k}").cast("long")))
+        for k in range(_SIM_BANDS)
     ).cast("bigint")
     return (
         cand.join(s1, "id1")
