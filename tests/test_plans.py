@@ -106,3 +106,33 @@ def test_exchange_reuse_in_selfjoin(spark):
     df = REGISTRY["dedup_neardup_minhash_lsh"].fn(spark, SF_DIR)
     plan = plan_of(df, "simple")
     assert "InMemoryTableScan" in plan or "ReusedExchange" in plan
+
+
+def test_bucketed_join_elides_shuffle(spark):
+    """Both sides bucketed on the join key → SortMergeJoin with NO Exchange
+    (the Spark analog of the reference's known-divisions blockwise merge,
+    /root/reference/dask_expr/_merge.py:254-259)."""
+    from dask_expr_rapids_spark.sources.bucketed import read_bucketed, write_bucketed
+    from dask_expr_rapids_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    write_bucketed(o, "t_orders_b", "o_custkey", buckets=8)
+    write_bucketed(
+        c.withColumnRenamed("c_custkey", "o_custkey"), "t_customer_b", "o_custkey", buckets=8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, "t_orders_b").join(
+            read_bucketed(spark, "t_customer_b"), "o_custkey"
+        )
+        plan = plan_of(joined, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and the join result is correct
+        assert joined.count() == o.join(
+            c, o.o_custkey == c.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
