@@ -217,3 +217,55 @@ class DatetimeMethods:
 
     def month_name(self):
         return self._wrap(F.date_format(self._s._expr, "MMMM"))
+
+
+class CategoricalMethods:
+    """Categorical accessor (reference ``CategoricalAccessor``,
+    ``/root/reference/dask_expr/_categorical.py:14-129``).
+
+    Spark has no categorical dtype (parquet dictionary-encodes strings
+    transparently), so the known/unknown-categories state machine reduces
+    to: ``categories``/``as_known`` = the eagerly computed distinct values
+    (sorted, like pandas' default), and ``codes`` = a broadcast dictionary
+    join mapping each value to its category index.  The dictionary is tiny
+    by definition (it's a categorical), so the join is always broadcast —
+    no shuffle of the data side."""
+
+    def __init__(self, series):
+        self._s = series
+
+    @property
+    def categories(self) -> list:
+        """Distinct values, sorted — the reference's ``as_known`` eager
+        uniques computation (``_categorical.py:55-76``)."""
+        rows = (
+            self._s._frame._sdf.select(self._s._expr.alias("v"))
+            .distinct()
+            .orderBy("v")
+            .collect()
+        )
+        return [r["v"] for r in rows if r["v"] is not None]
+
+    def as_known(self):
+        """No-op state transition in this engine (categories are always
+        computable); returns self for API compatibility."""
+        return self
+
+    @property
+    def codes(self):
+        """Category index per row (−1 for null, like pandas)."""
+        from .frame import Series
+
+        cats = self.categories
+        expr = F.lit(-1)
+        for i, c in reversed(list(enumerate(cats))):
+            expr = F.when(self._s._expr == F.lit(c), F.lit(i)).otherwise(expr)
+        return Series(self._s._frame, expr, self._s.name)
+
+    def rename_categories(self, mapping: dict):
+        from .frame import Series
+
+        expr = self._s._expr
+        for old, new in mapping.items():
+            expr = F.when(self._s._expr == F.lit(old), F.lit(new)).otherwise(expr)
+        return Series(self._s._frame, expr, self._s.name)

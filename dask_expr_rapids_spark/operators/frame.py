@@ -201,6 +201,12 @@ class Series:
 
         return DatetimeMethods(self)
 
+    @property
+    def cat(self):
+        from .accessors import CategoricalMethods
+
+        return CategoricalMethods(self)
+
     # -- reductions → driver scalar (reference _reductions.py) -------------
     def _reduce(self, agg: Column):
         return self._frame._sdf.agg(agg).collect()[0][0]
@@ -683,6 +689,17 @@ class SparkFrame:
         )
         return SparkFrame(sdf)
 
+    # -- loc / iloc (reference Loc/LocIndexer/ILocIndexer,
+    # _indexing.py:15-79: boolean-mask loc, index-value loc, iloc column
+    # slices; positional row iloc is a non-goal, as in the reference) ------
+    @property
+    def loc(self) -> "_LocIndexer":
+        return _LocIndexer(self)
+
+    @property
+    def iloc(self) -> "_ILocIndexer":
+        return _ILocIndexer(self)
+
     # -- index discipline (reference _shuffle.py:708-861, SURVEY §1.5) -----
     def set_index(self, col: str, npartitions: int | None = None) -> "SparkFrame":
         sdf = self._sdf.drop(INDEX).withColumnRenamed(col, INDEX)
@@ -928,6 +945,51 @@ class SparkFrame:
 
     def explain(self, mode: str = "formatted") -> None:
         self._sdf.explain(mode)
+
+
+class _LocIndexer:
+    """Label-based row (and optional column) selection on ``__index__``."""
+
+    def __init__(self, frame: "SparkFrame"):
+        self._f = frame
+
+    def __getitem__(self, key):
+        cols = None
+        if isinstance(key, tuple):
+            key, cols = key
+        if isinstance(key, Series):  # boolean mask
+            out = SparkFrame(self._f._sdf.filter(key._expr))
+        elif isinstance(key, slice):  # index-range (inclusive, pandas-style)
+            sdf = self._f._sdf
+            if key.start is not None:
+                sdf = sdf.filter(F.col(INDEX) >= key.start)
+            if key.stop is not None:
+                sdf = sdf.filter(F.col(INDEX) <= key.stop)
+            out = SparkFrame(sdf)
+        else:  # scalar index label
+            out = SparkFrame(self._f._sdf.filter(F.col(INDEX) == F.lit(key)))
+        if cols is not None:
+            out = out[_as_list(cols)]
+        return out
+
+
+class _ILocIndexer:
+    """Positional COLUMN slicing only (row iloc is a non-goal distributed —
+    same scope as the reference's ILocIndexer, _indexing.py:64-79)."""
+
+    def __init__(self, frame: "SparkFrame"):
+        self._f = frame
+
+    def __getitem__(self, key):
+        if not (isinstance(key, tuple) and len(key) == 2):
+            raise TypeError("iloc supports [:, col_slice] only")
+        rows, cols = key
+        if not (isinstance(rows, slice) and rows == slice(None)):
+            raise TypeError("iloc row selection is not supported (use loc)")
+        selected = self._f.columns[cols] if isinstance(cols, slice) else [
+            self._f.columns[i] for i in _as_list(cols)
+        ]
+        return self._f[_as_list(selected)]
 
 
 class GroupBy:

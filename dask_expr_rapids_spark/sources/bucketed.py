@@ -14,6 +14,9 @@ Bucket counts must match on both sides of a join; pick a count that keeps
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -28,6 +31,15 @@ def write_bucketed(
     """Persist ``df`` as a bucketed (and optionally sort-bucketed) parquet
     table in the session catalog/warehouse."""
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    if mode == "overwrite":
+        # a managed-table location can survive from a previous session whose
+        # in-memory catalog is gone; clear both catalog entry and location
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), table.split(".")[-1])
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
     writer = df.write.mode(mode).format("parquet").bucketBy(buckets, *cols)
     if sort:
         writer = writer.sortBy(*cols)

@@ -492,3 +492,26 @@ def test_rolling_skew_kurt_compute(sf, pdf):
     assert got.iloc[:9].isna().all() and got.iloc[9:].notna().all()
     got_k = sf["z"].rolling(10).kurt().to_pandas()
     assert got_k.iloc[9:].notna().all()
+
+
+def test_cat_accessor(sf, pdf):
+    cats = sf["s"].cat.categories
+    assert cats == sorted(pdf.s.unique())
+    got = sf.assign(c=sf["s"].cat.codes).to_pandas()
+    want = pdf.s.astype("category").cat.codes
+    assert got["c"].tolist() == want.tolist()
+    renamed = sf["s"].cat.rename_categories({"Aa_0": "zero"})
+    assert "zero" in renamed.to_frame().to_pandas()["s"].tolist()
+
+
+def test_loc_indexer(sf, pdf):
+    eq_frame(sf.loc[sf["y"] > 10], pdf.loc[pdf.y > 10])
+    eq_frame(sf.loc[5:9], pdf.loc[5:9])
+    got = sf.loc[7].to_pandas()
+    assert got["x"].tolist() == [7]
+    eq_frame(sf.loc[sf["y"] == 3, ["x", "s"]], pdf.loc[pdf.y == 3, ["x", "s"]])
+
+
+def test_iloc_columns(sf, pdf):
+    eq_frame(sf.iloc[:, 0:2], pdf.iloc[:, 0:2])
+    eq_frame(sf.iloc[:, [0, 3]], pdf.iloc[:, [0, 3]])
