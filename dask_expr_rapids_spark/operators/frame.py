@@ -137,6 +137,33 @@ class Series:
     def __neg__(self):
         return Series(self._frame, -self._expr, self.name)
 
+    # -- named arithmetic with fill_value (reference MethodOperator,
+    # _expr.py:1759-1770: null operands replaced by fill_value first) ------
+    def _method_op(self, other, op, fill_value):
+        rhs = other._expr if isinstance(other, Series) else F.lit(other)
+        lhs = self._expr
+        if fill_value is not None:
+            lhs = F.coalesce(lhs, F.lit(fill_value))
+            rhs = F.coalesce(rhs, F.lit(fill_value))
+        return Series(self._frame, op(lhs, rhs), self.name)
+
+    def add(self, other, fill_value=None):
+        return self._method_op(other, lambda a, b: a + b, fill_value)
+
+    def sub(self, other, fill_value=None):
+        return self._method_op(other, lambda a, b: a - b, fill_value)
+
+    def mul(self, other, fill_value=None):
+        return self._method_op(other, lambda a, b: a * b, fill_value)
+
+    def div(self, other, fill_value=None):
+        return self._method_op(other, lambda a, b: a / b, fill_value)
+
+    truediv = div
+
+    def pow(self, other, fill_value=None):
+        return self._method_op(other, lambda a, b: a**b, fill_value)
+
     # -- scalar functions (reference _expr.py:1020-1172) -------------------
     def abs(self):
         return Series(self._frame, F.abs(self._expr), self.name)
@@ -512,6 +539,30 @@ class Resampler:
 
     def max(self):
         return self._all("max")
+
+    def first(self):
+        return self._all("first")
+
+    def last(self):
+        return self._all("last")
+
+    def std(self):
+        return self._all("std")
+
+    def var(self):
+        return self._all("var")
+
+    def nunique(self):
+        return self._all("nunique")
+
+    def sem(self) -> "SparkFrame":
+        """Standard error of the mean per bucket (reference ResampleSem)."""
+        cols = [c for c in self._frame.columns]
+        aggs = [
+            (F.stddev_samp(c) / F.sqrt(F.count(c).cast("double"))).alias(c)
+            for c in cols
+        ]
+        return SparkFrame(self._frame._sdf.groupBy(self._bucket().alias(INDEX)).agg(*aggs))
 
     def ohlc(self, col: str) -> "SparkFrame":
         """first/max/min/last by bucket (reference ResampleOhlc)."""

@@ -515,3 +515,23 @@ def test_loc_indexer(sf, pdf):
 def test_iloc_columns(sf, pdf):
     eq_frame(sf.iloc[:, 0:2], pdf.iloc[:, 0:2])
     eq_frame(sf.iloc[:, [0, 3]], pdf.iloc[:, [0, 3]])
+
+
+def test_method_ops_fill_value(spark):
+    p = pd.DataFrame({"a": [1.0, None, 3.0], "b": [10.0, 20.0, None]})
+    f = SparkFrame.from_pandas(spark, p)
+    eq_series(f["a"].add(f["b"], fill_value=0), p.a.add(p.b, fill_value=0))
+    eq_series(f["a"].mul(f["b"], fill_value=1), p.a.mul(p.b, fill_value=1))
+    eq_series(f["a"].sub(2, fill_value=0), p.a.sub(2, fill_value=0))
+
+
+def test_resample_sem_std(spark):
+    idx = pd.date_range("2024-01-01", periods=40, freq="15min")
+    p = pd.DataFrame({"v": np.arange(40, dtype="float64") ** 1.5}, index=idx)
+    f = SparkFrame.from_pandas(spark, p)
+    got = f.resample("1h").std().to_pandas().sort_index()
+    want = p.resample("1h").std()
+    pdt.assert_frame_equal(got, want, check_dtype=False, check_freq=False)
+    got_sem = f.resample("1h").sem().to_pandas().sort_index()
+    want_sem = p.resample("1h").sem()
+    pdt.assert_frame_equal(got_sem, want_sem, check_dtype=False, check_freq=False)
