@@ -535,3 +535,34 @@ def test_resample_sem_std(spark):
     got_sem = f.resample("1h").sem().to_pandas().sort_index()
     want_sem = p.resample("1h").sem()
     pdt.assert_frame_equal(got_sem, want_sem, check_dtype=False, check_freq=False)
+
+
+def test_empty_result_frames(spark):
+    p = pd.DataFrame({"a": [1.0, 2.0], "b": ["x", "y"]})
+    f = SparkFrame.from_pandas(spark, p)
+    empty = f[f["a"] > 100]
+    assert empty.count() == 0
+    assert empty.to_pandas().empty
+    # groupby over empty input yields empty result, not an error
+    assert empty.groupby("b").sum().count() == 0
+    # reductions over empty → null/0 like pandas' NaN/0
+    assert empty["a"].sum() is None or empty["a"].sum() == 0
+    assert empty["a"].count() == 0
+
+
+def test_all_null_column(spark):
+    p = pd.DataFrame({"a": [None, None, None], "b": [1, 2, 3]})
+    f = SparkFrame.from_pandas(spark, p)
+    assert f["a"].count() == 0
+    assert f["a"].sum() is None
+    got = f.assign(c=f["a"].fillna(0.0)).to_pandas()
+    assert got["c"].tolist() == [0.0, 0.0, 0.0]
+    assert f.dropna(subset="a").count() == 0
+
+
+def test_single_row_frame(spark):
+    p = pd.DataFrame({"a": [42.0]})
+    f = SparkFrame.from_pandas(spark, p)
+    assert f["a"].std() is None  # ddof=1 over 1 row → null (pandas: NaN)
+    eq_series(f["a"].cumsum(), p.a.cumsum())
+    assert f["a"].rolling(3, min_periods=1).mean().to_pandas().tolist() == [42.0]
