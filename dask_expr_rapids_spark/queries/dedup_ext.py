@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.exact import pround
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .registry import register
 
 # --------------------------------------------------------------------------
@@ -124,7 +124,7 @@ def dedup_simhash(spark, sf_dir):
     counters per doc → tiny sigs relation → band self-join → verify.  The
     doc text itself never crosses a shuffle after the first agg.
     """
-    d = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    d = spread(load_table(spark, sf_dir, "documents")).filter(F.trim("text") != "")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     toks = (
         d.select("doc_id", F.explode(F.split(norm, " ")).alias("tok"))
@@ -158,35 +158,39 @@ def dedup_simhash(spark, sf_dir):
         for k in range(_SIM_BANDS)
     ]
     sigs = votes.select("doc_id", *band_int).persist()
+    # Carry the full 4-int signature through the band self-join so Hamming
+    # verification runs inline in the join's codegen stage; only the tiny
+    # post-filter survivor set is deduplicated (a pair can collide in
+    # several bands).  This avoids shuffling the raw candidate-pair set and
+    # the two signature-reattach joins of the naive banding plan.
     bands = None
     for b in range(_SIM_BANDS):
         part = sigs.select(
-            "doc_id", F.lit(b).alias("band"), F.col(f"i{b}").alias("bkey")
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.col(f"i{b}").alias("bkey"),
+            *[F.col(f"i{k}") for k in range(_SIM_BANDS)],
         )
         bands = part if bands is None else bands.unionByName(part)
-    a, bb = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .distinct()
+    a = bands.select(
+        F.col("doc_id").alias("id1"), "band", "bkey",
+        *[F.col(f"i{k}").alias(f"a{k}") for k in range(_SIM_BANDS)],
     )
-    s1 = sigs.select(F.col("doc_id").alias("id1"), *[F.col(f"i{k}").alias(f"a{k}") for k in range(_SIM_BANDS)])
-    s2 = sigs.select(F.col("doc_id").alias("id2"), *[F.col(f"i{k}").alias(f"b{k}") for k in range(_SIM_BANDS)])
+    bb = bands.select(
+        F.col("doc_id").alias("id2"), "band", "bkey",
+        *[F.col(f"i{k}").alias(f"b{k}") for k in range(_SIM_BANDS)],
+    )
     hamming = sum(
         F.bit_count(F.col(f"a{k}").cast("long").bitwiseXOR(F.col(f"b{k}").cast("long")))
         for k in range(_SIM_BANDS)
     ).cast("bigint")
     return (
-        cand.join(s1, "id1")
-        .join(s2, "id2")
+        a.join(bb, ["band", "bkey"])
+        .filter(F.col("id1") < F.col("id2"))
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .select("id1", "id2", "hamming")
+        .distinct()
     )
 
 
@@ -255,7 +259,7 @@ _NGRAM_JACCARD_SQL = f"""
 @register("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
     """Word-bigram Jaccard inside length-band blocking buckets (±1 band)."""
-    d = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    d = spread(load_table(spark, sf_dir, "documents")).filter(F.trim("text") != "")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     base = d.select("doc_id", norm.alias("t")).withColumn("w", F.split("t", " "))
     bigrams = F.transform(
@@ -273,24 +277,26 @@ def dedup_ngram_jaccard(spark, sf_dir):
             )
         ).alias("g"),
     ).persist()
+    # Each unordered pair matches on exactly ONE staggered probe key (the
+    # probe keys {lenband-1, lenband, lenband+1} are distinct, and only the
+    # one equal to the partner's band joins), so candidates are born unique
+    # — no distinct() pass.  Carrying both gram arrays through the join
+    # lets verification run inline in the same codegen stage: candidates
+    # are generated, intersected, and filtered without ever materializing
+    # or shuffling the 3·n·bandsize pair set.  At bench scale the build
+    # side auto-broadcasts; at 100 TB Spark falls back to a hash-shuffle
+    # equi-join on the band key — still never O(n²).
     probes = gsets.select(
         F.col("doc_id").alias("id1"),
+        F.col("g").alias("g1"),
         F.explode(
             F.array(F.col("lenband") - 1, F.col("lenband"), F.col("lenband") + 1)
         ).alias("k"),
     )
-    cand = (
-        probes.join(
-            gsets.select(F.col("doc_id").alias("id2"), F.col("lenband").alias("k")),
-            "k",
-        )
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
-    )
-    ga = gsets.select(F.col("doc_id").alias("id1"), F.col("g").alias("g1"))
-    gb = gsets.select(F.col("doc_id").alias("id2"), F.col("g").alias("g2"))
-    pairs = cand.join(ga, "id1").join(gb, "id2")
+    pairs = probes.join(
+        gsets.select(F.col("doc_id").alias("id2"), F.col("g").alias("g2"), F.col("lenband").alias("k")),
+        "k",
+    ).filter(F.col("id1") < F.col("id2"))
     inter = F.size(F.array_intersect("g1", "g2"))
     union = F.size("g1") + F.size("g2") - inter
     jac = inter.cast("double") / union.cast("double")
@@ -344,7 +350,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     self-join is per-bucket, so cost is sum of bucket² not corpus².  The
     quantized dot/norms make Spark and DuckDB bit-identical.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     qv = F.transform("embedding", lambda x: F.round(x.cast("double") * _Q, 0).cast("long"))
     bkey = F.concat(
         *[

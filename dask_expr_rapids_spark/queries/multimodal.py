@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.multimodal import as_media, fake_decode_stats, frame_sample
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .registry import register
 
 _MT_SQL = "['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]"
@@ -42,7 +42,7 @@ def _hexquad_sql(h: str, pos: int) -> str:
     """,
 )
 def multimodal_payload_stats(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     m = as_media(d)
     return m.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_media"),
@@ -70,7 +70,7 @@ def multimodal_payload_stats(spark, sf_dir):
     """,
 )
 def multimodal_decode_features(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return fake_decode_stats(as_media(d))
 
 
@@ -92,7 +92,7 @@ def multimodal_decode_features(spark, sf_dir):
 def multimodal_frame_stats(spark, sf_dir):
     """Video-ish media only (media_type = 'video'): sample 4 frames per
     payload, report per-media frame count + original byte size."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     m = as_media(d).filter(F.col("media_type") == "video")
     frames = m.withColumn("frames", frame_sample(m, 4))
     return frames.select(

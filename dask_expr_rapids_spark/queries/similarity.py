@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .registry import register
 
 _DIM = 64
@@ -82,7 +82,7 @@ _NORMS_SQL = f"""
 def ann_bruteforce_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k: the exact baseline every ANN variant is
     measured against.  Probe set broadcast; corpus streamed."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     qvec = F.transform("embedding", lambda x: _qelem(x))
     quant = e.select("vec_id", qvec.alias("qv"))
     norms = (
@@ -199,7 +199,7 @@ def ann_ivf_cosine_topk(spark, sf_dir):
     from ..functions.exact import pround
     from ..operators.similarity import ivf_topk
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     probes = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
@@ -220,7 +220,7 @@ def ann_ivf_cosine_topk(spark, sf_dir):
 def embedding_centroids(spark, sf_dir):
     """Per-label centroid vector (exploded form) — the building block of
     IVF coarse quantization / k-means mean updates at scale."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")

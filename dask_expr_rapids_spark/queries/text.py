@@ -27,7 +27,7 @@ from ..functions.text import (
     token_count,
     word_chars,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .registry import register
 
 _STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
@@ -61,7 +61,7 @@ _NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
     """,
 )
 def text_stats(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -92,7 +92,7 @@ def text_stats(spark, sf_dir):
     """,
 )
 def lang_id_confusion(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     pred = F.when(english_score(F.col("text")) >= 0.04, "en").otherwise("other")
     return d.groupBy("lang", pred.alias("pred")).agg(F.count(F.lit(1)).alias("n"))
 
@@ -126,7 +126,7 @@ def lang_id_confusion(spark, sf_dir):
     """,
 )
 def text_quality_by_source(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     scored = d.select("source", quality_score(F.col("text")).alias("q"))
     return scored.groupBy("source").agg(
         (
@@ -153,7 +153,7 @@ def text_quality_by_source(spark, sf_dir):
     """,
 )
 def dedup_exact_clusters(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
         F.min("doc_id").alias("keeper_id"),
         F.count(F.lit(1)).alias("n_copies"),
@@ -170,7 +170,7 @@ def dedup_exact_clusters(spark, sf_dir):
     """,
 )
 def dedup_exact_summary(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     fp = fingerprint(F.col("text"))
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -259,7 +259,7 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
     narrow bands table, a bucket self-join on band key (tiny buckets), and
     an exact verification join restricted to candidates.  No O(n^2) stage.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     grams = (
         d.select("doc_id", norm.alias("t"))

@@ -102,6 +102,21 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, Dat
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than
+    cores, so a CPU-bound downstream stage (hashing, shingling, vector math)
+    uses the whole machine.
+
+    Scans of files smaller than ``spark.sql.files.maxPartitionBytes`` yield
+    ONE partition, which would serialize the entire pipeline on one core.
+    At production scale the scan already yields >= cores splits and this is
+    a no-op; the shuffle it introduces moves only the small input, never the
+    (much larger) expanded intermediate.
+    """
+    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def timeseries(
     spark: SparkSession,
     start: str = "2024-01-01",
