@@ -566,3 +566,124 @@ def test_single_row_frame(spark):
     assert f["a"].std() is None  # ddof=1 over 1 row → null (pandas: NaN)
     eq_series(f["a"].cumsum(), p.a.cumsum())
     assert f["a"].rolling(3, min_periods=1).mean().to_pandas().tolist() == [42.0]
+
+
+def test_str_accessor_breadth(spark):
+    vals = ["hello world", "Spark SQL", "  pad  ", "a_b_c_d", "XYZ", "mixedCase", ""]
+    pdf = pd.DataFrame({"s": vals})
+    sf2 = SparkFrame.from_pandas(spark, pdf)
+    s = sf2["s"]
+    got = sf2.assign(
+        cf=s.str.casefold(),
+        sw=s.str.swapcase(),
+        ce=s.str.center(11, "*"),
+        lj=s.str.ljust(11, "."),
+        rj=s.str.rjust(11, "."),
+        al=s.str.isalpha(),
+        an=s.str.isalnum(),
+        lo=s.str.islower(),
+        up=s.str.isupper(),
+        rp=s.str.removeprefix("hello "),
+        rs=s.str.removesuffix("Case"),
+        sr=s.str.slice_replace(1, 3, "@"),
+        rf=s.str.rfind("a"),
+        fi=s.str.find("a"),
+    )
+    want = pdf.assign(
+        cf=pdf.s.str.casefold(),
+        sw=pdf.s.str.swapcase(),
+        ce=pdf.s.str.center(11, "*"),
+        lj=pdf.s.str.ljust(11, "."),
+        rj=pdf.s.str.rjust(11, "."),
+        al=pdf.s.str.isalpha(),
+        an=pdf.s.str.isalnum(),
+        lo=pdf.s.str.islower(),
+        up=pdf.s.str.isupper(),
+        rp=pdf.s.str.removeprefix("hello "),
+        rs=pdf.s.str.removesuffix("Case"),
+        sr=pdf.s.str.slice_replace(1, 3, "@"),
+        rf=pdf.s.str.rfind("a"),
+        fi=pdf.s.str.find("a"),
+    )
+    eq_frame(got, want)
+
+
+def test_str_match_findall_translate_wrap(spark):
+    pdf = pd.DataFrame({"s": ["ab12cd3", "xy", "123", "a1b2"]})
+    sf2 = SparkFrame.from_pandas(spark, pdf)
+    s = sf2["s"]
+    got = sf2.assign(
+        m=s.str.match(r"[a-z]+\d"),
+        fm=s.str.fullmatch(r"\d+"),
+        fa=s.str.findall(r"\d"),
+        tr=s.str.translate({"1": "one", "2": None}),
+    )
+    want = pdf.assign(
+        m=pdf.s.str.match(r"[a-z]+\d"),
+        fm=pdf.s.str.fullmatch(r"\d+"),
+        fa=pdf.s.str.findall(r"\d"),
+        tr=pdf.s.str.translate({ord("1"): "one", ord("2"): None}),
+    )
+    eq_frame(got, want)
+
+
+def test_str_split_expand_partition(spark):
+    pdf = pd.DataFrame({"s": ["a b c", "x y", "solo", "p q r s"]})
+    sf2 = SparkFrame.from_pandas(spark, pdf)
+    got = sf2["s"].str.split(" ", n=2, expand=True).to_pandas()
+    want = pdf.s.str.split(" ", n=2, expand=True)
+    want.columns = [f"s_{c}" for c in want.columns]
+    pdt.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+    got_r = sf2["s"].str.rsplit(" ", n=2).to_pandas()
+    want_r = pdf.s.str.rsplit(" ", n=2)
+    pdt.assert_series_equal(got_r, want_r, check_dtype=False, check_names=False)
+
+    got_p = sf2["s"].str.partition(" ").to_pandas()
+    want_p = pdf.s.str.partition(" ")
+    want_p.columns = [f"s_{c}" for c in want_p.columns]
+    pdt.assert_frame_equal(got_p[want_p.columns], want_p, check_dtype=False)
+
+    got_rp = sf2["s"].str.rpartition(" ").to_pandas()
+    want_rp = pdf.s.str.rpartition(" ")
+    want_rp.columns = [f"s_{c}" for c in want_rp.columns]
+    pdt.assert_frame_equal(got_rp[want_rp.columns], want_rp, check_dtype=False)
+
+
+def test_dt_accessor_breadth(spark):
+    pdf = pd.DataFrame(
+        {"t": pd.date_range("2023-12-29 05:30:12", periods=60, freq="11h37min")}
+    )
+    sf2 = SparkFrame.from_pandas(spark, pdf)
+    t = sf2["t"]
+    got = sf2.assign(
+        wd=t.dt.weekday,
+        us=t.dt.microsecond,
+        dim=t.dt.days_in_month,
+        qs=t.dt.is_quarter_start,
+        qe=t.dt.is_quarter_end,
+        ys=t.dt.is_year_start,
+        ye=t.dt.is_year_end,
+        ly=t.dt.is_leap_year,
+        fl=t.dt.floor("D"),
+        ce=t.dt.ceil("H"),
+        ro=t.dt.round("H"),
+        no=t.dt.normalize(),
+        st=t.dt.strftime("%Y/%m/%d %a"),
+    )
+    want = pdf.assign(
+        wd=pdf.t.dt.weekday,
+        us=pdf.t.dt.microsecond,
+        dim=pdf.t.dt.days_in_month,
+        qs=pdf.t.dt.is_quarter_start,
+        qe=pdf.t.dt.is_quarter_end,
+        ys=pdf.t.dt.is_year_start,
+        ye=pdf.t.dt.is_year_end,
+        ly=pdf.t.dt.is_leap_year,
+        fl=pdf.t.dt.floor("D"),
+        ce=pdf.t.dt.ceil("h"),
+        ro=pdf.t.dt.round("h"),
+        no=pdf.t.dt.normalize(),
+        st=pdf.t.dt.strftime("%Y/%m/%d %a"),
+    )
+    eq_frame(got, want)
