@@ -71,6 +71,9 @@ def main() -> None:
             fn(spark, sf_dir).count()
             times.append(time.perf_counter() - t0)
         results[name] = round(statistics.median(times), 4)
+        # each fn() call persists fresh intermediates (LSH signatures etc.);
+        # drop them so earlier queries' caches don't tax later ones
+        spark.catalog.clearCache()
 
     print(
         json.dumps(
