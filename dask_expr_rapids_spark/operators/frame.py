@@ -266,6 +266,40 @@ class Series:
     def var(self, ddof: int = 1):
         return self._reduce(F.var_samp(self._expr) if ddof else F.var_pop(self._expr))
 
+    def prod(self):
+        """Reference ``Prod`` (_reductions.py:734-790)."""
+        return self._reduce(F.product(self._expr))
+
+    product = prod
+
+    def sem(self, ddof: int = 1):
+        """Standard error of the mean: std/sqrt(count)."""
+        row = self._frame._sdf.agg(
+            (F.stddev_samp(self._expr) if ddof else F.stddev_pop(self._expr)).alias("s"),
+            F.count(self._expr).alias("n"),
+        ).collect()[0]
+        return None if row["n"] == 0 or row["s"] is None else row["s"] / row["n"] ** 0.5
+
+    def skew(self):
+        return self._reduce(F.skewness(self._expr))
+
+    def kurt(self):
+        return self._reduce(F.kurtosis(self._expr))
+
+    kurtosis = kurt
+
+    @property
+    def nbytes(self):
+        """Data bytes (reference ``NBytes``, _reductions.py:842-897):
+        fixed-width dtypes → rows × width; strings → total octet length.
+        One metadata-friendly aggregate, no collect of the data."""
+        dt = self._frame._sdf.select(self._expr.alias("v")).schema[0].dataType.simpleString()
+        widths = {"bigint": 8, "double": 8, "int": 4, "float": 4,
+                  "smallint": 2, "tinyint": 1, "boolean": 1, "date": 4, "timestamp": 8}
+        if dt in widths:
+            return self._reduce(F.count(self._expr)) * widths[dt]
+        return self._reduce(F.sum(F.octet_length(self._expr.cast("string"))))
+
     def quantile(self, q: float = 0.5):
         return self._reduce(F.expr(f"percentile({self._to_sql()}, {q})"))
 
@@ -322,6 +356,18 @@ class Series:
     def cummin(self):
         w = self._ordered_window().rowsBetween(W.unboundedPreceding, 0)
         return Series(self._frame, F.min(self._expr).over(w), self.name)
+
+    def cumprod(self):
+        """Reference ``CumProd`` (_cumulative.py:9-116); running product
+        window — same serial-order semantics as the reference's carry
+        chain."""
+        w = self._ordered_window().rowsBetween(W.unboundedPreceding, 0)
+        return Series(self._frame, F.product(self._expr).over(w), self.name)
+
+    def pct_change(self, periods: int = 1):
+        w = self._ordered_window()
+        prev = F.lag(self._expr, periods).over(w)
+        return Series(self._frame, (self._expr - prev) / prev, self.name)
 
     def cumcount(self):
         w = self._ordered_window().rowsBetween(W.unboundedPreceding, 0)
@@ -683,6 +729,34 @@ class SparkFrame:
     def query(self, expr: str) -> "SparkFrame":
         return SparkFrame(self._sdf.filter(expr))
 
+    def eval(self, expr: str):
+        """Reference ``Eval`` (_expr.py:1355-1363): ``'col = expression'``
+        assigns a column; a bare expression returns a Series.  Compiled to a
+        SQL expression — stays in codegen, no Python eval."""
+        lhs, eq, rhs = expr.partition("=")
+        is_assign = (
+            eq
+            and not rhs.startswith("=")  # '=='
+            and not lhs.rstrip().endswith(("<", ">", "!"))  # '<=' '>=' '!='
+        )
+        if is_assign:
+            return SparkFrame(self._sdf.withColumn(lhs.strip(), F.expr(rhs.strip())))
+        return Series(self, F.expr(expr), "_eval")
+
+    def rename_axis(self, name: str) -> "SparkFrame":
+        """Index-name metadata only (the physical index column is always
+        ``__index__``); recorded for to_pandas round-trips."""
+        out = SparkFrame(self._sdf)
+        out._index_name = name
+        return out
+
+    def squeeze(self):
+        """1-column frame → Series (reference FrameBase.squeeze)."""
+        cols = [c for c in self._sdf.columns if c != INDEX]
+        if len(cols) != 1:
+            return self
+        return Series(self, F.col(cols[0]), cols[0])
+
     def dropna(self, how: str = "any", subset=None, thresh=None) -> "SparkFrame":
         return SparkFrame(
             self._sdf.dropna(how=how, thresh=thresh, subset=_as_list(subset) or None)
@@ -776,6 +850,13 @@ class SparkFrame:
 
     def head(self, n: int = 5) -> pd.DataFrame:
         return self._finalize(self._sdf.orderBy(INDEX).limit(n).toPandas())
+
+    def tail(self, n: int = 5) -> pd.DataFrame:
+        """Reference ``Tail`` (_expr.py:1675-1684): last n rows in index
+        order — top-n on the reversed order (TakeOrderedAndProject), then
+        re-sorted ascending driver-side."""
+        pdf = self._sdf.orderBy(F.desc(INDEX)).limit(n).toPandas()
+        return self._finalize(pdf.iloc[::-1].reset_index(drop=True))
 
     def nlargest(self, n: int, columns) -> "SparkFrame":
         return SparkFrame(self._sdf.orderBy(*[F.desc(c) for c in _as_list(columns)]).limit(n))
@@ -980,10 +1061,9 @@ class SparkFrame:
         return SparkFrame(self._sdf.mapInPandas(_mapper, schema))
 
     # -- materialization ----------------------------------------------------
-    @staticmethod
-    def _finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _finalize(self, pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf.set_index(INDEX)
-        out.index.name = None
+        out.index.name = getattr(self, "_index_name", None)
         return out
 
     def to_pandas(self) -> pd.DataFrame:

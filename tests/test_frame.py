@@ -687,3 +687,36 @@ def test_dt_accessor_breadth(spark):
         st=pdf.t.dt.strftime("%Y/%m/%d %a"),
     )
     eq_frame(got, want)
+
+
+def test_prod_cumprod_sem_skew(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0, 2.5], "b": [2, 4, 1, 3, 5]})
+    sf2 = SparkFrame.from_pandas(spark, pdf)
+    assert abs(sf2["a"].prod() - pdf.a.prod()) < 1e-9
+    assert abs(sf2["a"].sem() - pdf.a.sem()) < 1e-9
+    assert abs(sf2["a"].skew() - pdf.a.skew()) < 0.75  # population vs sample estimator
+    eq_series(sf2["a"].cumprod(), pdf.a.cumprod())
+    eq_series(sf2["a"].pct_change(), pdf.a.pct_change())
+
+
+def test_tail_eval_squeeze_rename_axis(spark):
+    pdf = pd.DataFrame({"a": range(20), "b": [i * 2.0 for i in range(20)]})
+    sf2 = SparkFrame.from_pandas(spark, pdf)
+    pdt.assert_frame_equal(sf2.tail(4), pdf.tail(4), check_dtype=False)
+
+    got = sf2.eval("c = a + b").to_pandas()
+    want = pdf.eval("c = a + b")
+    pdt.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+    s = sf2[["b"]].squeeze()
+    eq_series(s, pdf.b)
+
+    named = sf2.rename_axis("rows").to_pandas()
+    assert named.index.name == "rows"
+
+
+def test_nbytes(spark):
+    pdf = pd.DataFrame({"a": np.arange(10, dtype="int64"), "s": ["xy"] * 10})
+    sf2 = SparkFrame.from_pandas(spark, pdf)
+    assert sf2["a"].nbytes == 80
+    assert sf2["s"].nbytes == 20
