@@ -375,3 +375,141 @@ def text_fingerprint_rolling_hash(spark, sf_dir):
         "doc_id",
         *[F.element_at("fps", i + 1).alias(f"fp{i + 1}") for i in range(_FP_K)],
     )
+
+
+# --------------------------------------------------------------------------
+# String accessor edit-op breadth (reference _str_accessor.py full method
+# list): center/swapcase/rfind/removeprefix/partition/translate — the
+# accessor methods added for full parity, oracle-checked.
+# --------------------------------------------------------------------------
+@register(
+    "str_accessor_edit_ops",
+    """
+    SELECT c_custkey,
+           CASE WHEN length(c_mktsegment) >= 12 THEN c_mktsegment
+                ELSE repeat('*', CAST(floor((12 - length(c_mktsegment)) / 2) AS INT))
+                     || c_mktsegment
+                     || repeat('*', 12 - length(c_mktsegment)
+                               - CAST(floor((12 - length(c_mktsegment)) / 2) AS INT))
+           END AS centered,
+           translate(c_name,
+                     'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                     'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS swapped,
+           CASE WHEN strpos(reverse(c_name), '0') > 0
+                THEN length(c_name) - strpos(reverse(c_name), '0')
+                ELSE -1 END AS rfind0,
+           CASE WHEN starts_with(c_name, 'Customer#')
+                THEN substr(c_name, 10) ELSE c_name END AS noprefix,
+           CASE WHEN strpos(c_name, '#') > 0
+                THEN substr(c_name, 1, strpos(c_name, '#') - 1)
+                ELSE c_name END AS part_before,
+           CASE WHEN strpos(c_name, '#') > 0
+                THEN substr(c_name, strpos(c_name, '#') + 1)
+                ELSE '' END AS part_after,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS vowels_low
+    FROM customer
+    WHERE c_custkey <= 400
+    """,
+)
+def str_accessor_edit_ops(spark, sf_dir):
+    """The new-for-parity accessor methods, driven through the facade
+    (operators/accessors.py): center, swapcase, rfind, removeprefix,
+    partition, translate."""
+    from ..operators import SparkFrame
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    sf = SparkFrame(c.withColumn("__index__", F.col("c_custkey")))
+    name, seg = sf["c_name"], sf["c_mktsegment"]
+    out = sf.assign(
+        centered=seg.str.center(12, "*"),
+        swapped=name.str.swapcase(),
+        rfind0=name.str.rfind("0"),
+        noprefix=name.str.removeprefix("Customer#"),
+        vowels_low=seg.str.translate({"A": "a", "E": "e", "I": "i", "O": "o", "U": "u"}),
+    ).to_spark()
+    part = (
+        name.str.partition("#")
+        .to_spark()
+        .select(
+            F.col("__index__").alias("pk"),
+            F.col("c_name_0").alias("part_before"),
+            F.col("c_name_2").alias("part_after"),
+        )
+    )
+    return out.join(part, out.c_custkey == part.pk).select(
+        "c_custkey", "centered", "swapped", "rfind0",
+        "noprefix", "part_before", "part_after", "vowels_low",
+    )
+
+
+# --------------------------------------------------------------------------
+# Datetime accessor calendar-edge breadth (reference _datetime.py property
+# list): days_in_month, quarter/year boundaries, leap years, weekday.
+# --------------------------------------------------------------------------
+@register(
+    "dt_accessor_calendar_edges",
+    """
+    SELECT o_orderkey,
+           CAST(day(last_day(o_orderdate)) AS INT) AS dim,
+           (month(o_orderdate) % 3 = 1 AND day(o_orderdate) = 1) AS q_start,
+           (month(o_orderdate) % 3 = 0
+            AND o_orderdate = last_day(o_orderdate)) AS q_end,
+           (month(o_orderdate) = 1 AND day(o_orderdate) = 1) AS y_start,
+           (month(o_orderdate) = 12 AND day(o_orderdate) = 31) AS y_end,
+           ((year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+            OR year(o_orderdate) % 400 = 0) AS leap,
+           CAST((dayofweek(o_orderdate) + 6) % 7 AS INT) AS wd
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def dt_accessor_calendar_edges(spark, sf_dir):
+    """Facade-driven: dt.days_in_month / is_quarter_* / is_year_* /
+    is_leap_year / weekday (pandas Mon=0 convention on both sides)."""
+    from ..operators import SparkFrame
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    sf = SparkFrame(o.withColumn("__index__", F.col("o_orderkey")))
+    d = sf["o_orderdate"]
+    out = sf.assign(
+        dim=d.dt.days_in_month,
+        q_start=d.dt.is_quarter_start,
+        q_end=d.dt.is_quarter_end,
+        y_start=d.dt.is_year_start,
+        y_end=d.dt.is_year_end,
+        leap=d.dt.is_leap_year,
+        wd=d.dt.weekday,
+    )
+    return out.to_spark().select(
+        "o_orderkey", "dim", "q_start", "q_end", "y_start", "y_end", "leap", "wd"
+    )
+
+
+# --------------------------------------------------------------------------
+# Cumulative product (reference CumProd, _cumulative.py:9-116): windowed
+# product per order over line numbers — integer-exact on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "cumprod_linenumbers",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(product(l_linenumber) OVER (
+                PARTITION BY l_orderkey ORDER BY l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_prod
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def cumprod_linenumbers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.product("l_linenumber").over(w).cast("bigint").alias("running_prod"),
+    )
