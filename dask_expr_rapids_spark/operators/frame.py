@@ -1248,13 +1248,63 @@ class GroupBy:
         )
         return Series(self._frame, F.first(F.col(col), ignorenulls=True).over(w), col)
 
-    def cumsum(self, col: str) -> Series:
-        w = (
+    def _cum_window(self):
+        return (
             W.partitionBy(*self._by)
             .orderBy(INDEX)
             .rowsBetween(W.unboundedPreceding, 0)
         )
-        return Series(self._frame, F.sum(F.col(col)).over(w), col)
+
+    def cumsum(self, col: str) -> Series:
+        return Series(self._frame, F.sum(F.col(col)).over(self._cum_window()), col)
+
+    def cumprod(self, col: str) -> Series:
+        return Series(self._frame, F.product(F.col(col)).over(self._cum_window()), col)
+
+    def cummax(self, col: str) -> Series:
+        return Series(self._frame, F.max(F.col(col)).over(self._cum_window()), col)
+
+    def cummin(self, col: str) -> Series:
+        return Series(self._frame, F.min(F.col(col)).over(self._cum_window()), col)
+
+    def cumcount(self) -> Series:
+        """Row number within group (0-based), pandas ``GroupBy.cumcount``."""
+        w = W.partitionBy(*self._by).orderBy(INDEX)
+        return Series(self._frame, F.row_number().over(w) - 1, "cumcount")
+
+    def prod(self):
+        """Reference GroupBy ``Prod`` (``_groupby.py:1139``)."""
+        return self._agg_all("prod")
+
+    def quantile(self, q: float = 0.5):
+        """Exact per-group quantile (reference forces a shuffle then exact
+        median, ``_groupby.py:781-828``; ``F.percentile`` is the same
+        partial/final exact computation)."""
+        cols = [c for c in self._frame.columns if c not in self._by and c != INDEX]
+        sdf = self._grouped().agg(
+            *[F.percentile(F.col(c), F.lit(q)).alias(c) for c in cols]
+        )
+        return SparkFrame(sdf.withColumn(INDEX, F.col(self._by[0])))
+
+    def sem(self, ddof: int = 1):
+        """Standard error of the group mean: std/sqrt(n) per group."""
+        cols = [c for c in self._frame.columns if c not in self._by and c != INDEX]
+        std = F.stddev_samp if ddof else F.stddev_pop
+        sdf = self._grouped().agg(
+            *[(std(F.col(c)) / F.sqrt(F.count(F.col(c)))).alias(c) for c in cols]
+        )
+        return SparkFrame(sdf.withColumn(INDEX, F.col(self._by[0])))
+
+    def rolling(self, window: int, col: str, fname: str = "mean") -> Series:
+        """Groupby-rolling (reference ``GroupBy.rolling``,
+        ``_groupby.py:1398-1415``): per-group ordered row window — one
+        partitioned Window spec, no extra shuffle beyond the grouping."""
+        w = (
+            W.partitionBy(*self._by)
+            .orderBy(INDEX)
+            .rowsBetween(-(window - 1), 0)
+        )
+        return Series(self._frame, _AGG_FNS[fname](F.col(col)).over(w), col)
 
     def rank(self, col: str, ascending: bool = True) -> Series:
         order = F.asc(col) if ascending else F.desc(col)

@@ -720,3 +720,40 @@ def test_nbytes(spark):
     sf2 = SparkFrame.from_pandas(spark, pdf)
     assert sf2["a"].nbytes == 80
     assert sf2["s"].nbytes == 20
+
+
+def test_groupby_cumulatives_prod_quantile_sem(spark):
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b", "c"],
+            "v": [2.0, 3.0, 4.0, 1.5, 2.5, 7.0],
+        }
+    )
+    sf2 = SparkFrame.from_pandas(spark, pdf)
+    gb = sf2.groupby("g")
+    eq_series(gb.cumprod("v"), pdf.groupby("g").v.cumprod())
+    eq_series(gb.cummax("v"), pdf.groupby("g").v.cummax())
+    eq_series(gb.cummin("v"), pdf.groupby("g").v.cummin())
+    eq_series(gb.cumcount(), pdf.groupby("g").cumcount())
+
+    got_p = gb.prod().to_pandas().set_index("g")[["v"]].rename_axis(None).sort_index()
+    want_p = pdf.groupby("g").prod().rename_axis(None)
+    pdt.assert_frame_equal(got_p, want_p, check_dtype=False)
+
+    got_q = gb.quantile(0.5).to_pandas().set_index("g")[["v"]].rename_axis(None).sort_index()
+    want_q = pdf.groupby("g").v.quantile(0.5).to_frame("v").rename_axis(None)
+    pdt.assert_frame_equal(got_q, want_q, check_dtype=False)
+
+    got_s = gb.sem().to_pandas().set_index("g")[["v"]].rename_axis(None).sort_index()
+    want_s = pdf.groupby("g").v.sem().to_frame("v").rename_axis(None)
+    pdt.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_groupby_rolling(spark):
+    pdf = pd.DataFrame({"g": ["a"] * 5 + ["b"] * 4, "v": [1.0, 2, 3, 4, 5, 10, 20, 30, 40]})
+    sf2 = SparkFrame.from_pandas(spark, pdf)
+    got = sf2.groupby("g").rolling(3, "v", "mean")
+    want = (
+        pdf.groupby("g").v.rolling(3, min_periods=1).mean().reset_index(level=0, drop=True)
+    )
+    eq_series(got, want)
