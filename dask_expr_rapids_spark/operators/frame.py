@@ -543,6 +543,47 @@ class Rolling:
     def kurt(self):
         return self._agg(F.kurtosis)
 
+    def cov(self, other: "Series"):
+        """Windowed covariance with another column of the same frame
+        (reference ``RollingCov``, ``_rolling.py:285-323``)."""
+        w, need = self._spec()
+        expr = F.covar_samp(self._s._expr, other._expr).over(w)
+        guard = F.count(self._s._expr).over(w) >= need
+        return Series(self._s._frame, F.when(guard, expr), self._s.name)
+
+    def agg(self, fnames) -> "SparkFrame":
+        """Multiple window aggregates at once → frame with one column per
+        function (reference ``RollingAgg``, ``_rolling.py:220-287``)."""
+        w, need = self._spec()
+        guard = F.count(self._s._expr).over(w) >= need
+        cols = [
+            F.when(guard, _AGG_FNS[f](self._s._expr).over(w)).alias(
+                f"{self._s.name}_{f}"
+            )
+            for f in _as_list(fnames)
+        ]
+        return SparkFrame(self._s._frame._sdf.select(F.col(INDEX), *cols))
+
+    def apply(self, fn, dtype: str = "double"):
+        """Arbitrary Python fn over each window's values (reference
+        ``RollingApply``).  The window materializes as an array column
+        (bounded by the window size), then one Arrow-batched pandas UDF
+        applies ``fn`` per row — never row-at-a-time Python."""
+        import pandas as pd  # noqa: F811
+        from pyspark.sql.functions import pandas_udf
+
+        w, need = self._spec()
+        arr = F.collect_list(self._s._expr).over(w)
+        guard = F.count(self._s._expr).over(w) >= need
+
+        @pandas_udf(dtype)
+        def _apply(vals: pd.Series) -> pd.Series:
+            import numpy as np
+
+            return vals.map(lambda v: fn(np.asarray(v)) if v is not None else None)
+
+        return Series(self._s._frame, F.when(guard, _apply(arr)), self._s.name)
+
 
 class Resampler:
     """Time-bucket aggregation container (reference ``Resampler``,

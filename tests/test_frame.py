@@ -757,3 +757,22 @@ def test_groupby_rolling(spark):
         pdf.groupby("g").v.rolling(3, min_periods=1).mean().reset_index(level=0, drop=True)
     )
     eq_series(got, want)
+
+
+def test_rolling_apply_agg_cov(spark):
+    pdf = pd.DataFrame(
+        {"a": [1.0, 3.0, 2.0, 5.0, 4.0, 6.0], "b": [2.0, 1.0, 4.0, 3.0, 6.0, 5.0]}
+    )
+    sf2 = SparkFrame.from_pandas(spark, pdf)
+    got = sf2["a"].rolling(3).apply(lambda v: float(v.max() - v.min()))
+    want = pdf.a.rolling(3).apply(lambda v: v.max() - v.min())
+    eq_series(got, want)
+
+    got_cov = sf2["a"].rolling(3).cov(sf2["b"])
+    want_cov = pdf.a.rolling(3).cov(pdf.b)
+    eq_series(got_cov, want_cov)
+
+    got_agg = sf2["a"].rolling(2).agg(["sum", "max"]).to_pandas()
+    want_agg = pdf.a.rolling(2).agg(["sum", "max"])
+    want_agg.columns = ["a_sum", "a_max"]
+    pdt.assert_frame_equal(got_agg[want_agg.columns], want_agg, check_dtype=False)
