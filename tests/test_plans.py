@@ -136,3 +136,25 @@ def test_bucketed_join_elides_shuffle(spark):
         ).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_neardup_verify_is_single_join_stage(spark):
+    """The LSH near-dup pipelines must verify candidates inline in the
+    candidate-generating join — no re-attach joins, no shuffle of the raw
+    candidate-pair set.  Plan evidence: ngram-jaccard has exactly one
+    non-broadcast join input chain and NO distinct/HashAggregate between
+    the join and the jaccard filter (the blocking keys make candidate
+    pairs born-unique)."""
+    plan = plan_of(REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_DIR), "simple")
+    # candidate generation + verify collapse into one join
+    assert plan.count("Join") == 1, plan
+    # jaccard verification must sit in the join condition / adjacent filter,
+    # not behind an exchange of materialized pairs
+    assert "array_intersect" in plan
+
+
+def test_documents_pipelines_parallelize_small_scans(spark):
+    """spread() must fan a sub-core-count scan across cores before the
+    CPU-heavy hashing stages: the plan carries a round-robin repartition."""
+    plan = plan_of(REGISTRY["dedup_simhash"].fn(spark, SF_DIR), "simple")
+    assert "Exchange RoundRobinPartitioning" in plan
