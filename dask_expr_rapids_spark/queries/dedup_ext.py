@@ -126,22 +126,27 @@ def dedup_simhash(spark, sf_dir):
     """
     d = spread(load_table(spark, sf_dir, "documents")).filter(F.trim("text") != "")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    toks = (
-        d.select("doc_id", F.explode(F.split(norm, " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .distinct()
-    )
-    digits = toks.select(
+    # Per-doc token dedup happens map-side (array_distinct before explode) —
+    # the naive explode-then-DISTINCT plan shuffles every (doc_id, token)
+    # pair; this plan's only shuffle is the 65-counter partial/final agg.
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(norm, " "))).alias("tok")
+    ).filter(F.col("tok") != "")
+    # Two 32-bit ints carry all 64 md5 bits (hex digit j = nibble j, most
+    # significant first), so bit b of the oracle's digit arithmetic is
+    # (h1 >> (31-b)) & 1 for b<32 and (h2 >> (63-b)) & 1 above — identical
+    # bits at 1/8th the string work of per-digit conv() extraction.
+    halves = toks.select(
         "doc_id",
-        *[
-            (F.conv(F.substring(F.md5("tok"), j + 1, 1), 16, 10).cast("int")).alias(f"d{j}")
-            for j in range(_SIM_BITS // 4)
-        ],
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("h2"),
     )
-    votes = digits.groupBy("doc_id").agg(
+    votes = halves.groupBy("doc_id").agg(
         *[
             F.sum(
-                (F.floor(F.col(f"d{b // 4}") / (2 ** (3 - b % 4))).cast("int") % 2)
+                F.shiftright(F.col("h1" if b < 32 else "h2"), (31 - b) % 32).bitwiseAND(
+                    F.lit(1)
+                )
             ).alias(f"v{b}")
             for b in range(_SIM_BITS)
         ],
