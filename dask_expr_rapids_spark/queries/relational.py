@@ -130,8 +130,17 @@ def q05_local_supplier_volume(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    # The region/nation predicate implies c_nationkey ∈ ASIA nations (the
+    # supplier join later pins c_nationkey == s_nationkey and s to ASIA), so
+    # semi-filter customer map-side before the big customer⋈orders shuffle —
+    # at scale this cuts that exchange's volume by ~|ASIA|/|world| (≈5×).
+    asia_nk = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        c.join(F.broadcast(asia_nk), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
         .filter(
             (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
             & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
@@ -202,12 +211,16 @@ def q10_returned_items(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
+    # Join the two big fact tables on orderkey FIRST: the wide customer
+    # columns (name, acctbal) then cross exactly one exchange (custkey) —
+    # the naive customer-first order drags them through the orderkey
+    # shuffle too, tripling shuffled bytes at scale.
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(
+        o.join(
             l.filter(F.col("l_returnflag") == "R"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
