@@ -71,9 +71,10 @@ def main() -> None:
             fn(spark, sf_dir).count()
             times.append(time.perf_counter() - t0)
         results[name] = round(statistics.median(times), 4)
-        # each fn() call persists fresh intermediates (LSH signatures etc.);
-        # drop them so earlier queries' caches don't tax later ones
-        spark.catalog.clearCache()
+
+    from dask_expr_rapids_spark.queries.registry import release_caches
+
+    release_caches()  # scoped caches from the last query
 
     print(
         json.dumps(

@@ -524,6 +524,16 @@ class DatetimeMethods:
     def normalize(self):
         return self._wrap(F.date_trunc("day", self._s._expr))
 
+    def total_seconds(self):
+        """Timedelta accessor (reference ``_accessor.py`` td namespace /
+        ``_expr.py:1090`` ToTimedelta consumers): exact seconds (with
+        fraction) of a ``DayTimeIntervalType`` column built by
+        ``Series.to_timedelta`` or timestamp subtraction."""
+        e = self._s._expr
+        part = lambda f: F.date_part(F.lit(f), e)  # noqa: E731
+        whole = ((part("DAY") * 24 + part("HOUR")) * 60 + part("MINUTE")) * 60
+        return self._wrap(whole.cast("double") + part("SECOND").cast("double"))
+
 
 class CategoricalMethods:
     """Categorical accessor (reference ``CategoricalAccessor``,

@@ -211,6 +211,20 @@ class Series:
     def astype(self, dtype: str):
         return Series(self._frame, self._expr.cast(dtype), self.name)
 
+    def to_timedelta(self, unit: str = "s"):
+        """Reference ``ToTimedelta`` (``_expr.py:1090``): numeric →
+        ``DayTimeIntervalType`` (SURVEY §1.4).  Timestamp subtraction
+        already yields the same interval type natively; ``.dt
+        .total_seconds()`` converts back."""
+        factor = {"d": 86400.0, "h": 3600.0, "min": 60.0, "m": 60.0,
+                  "s": 1.0, "ms": 1e-3, "us": 1e-6}[unit]
+        secs = (self._expr.cast("double") * factor).cast("decimal(18,6)")
+        return Series(
+            self._frame,
+            F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs),
+            self.name,
+        )
+
     def alias(self, name: str):
         return Series(self._frame, self._expr, name)
 
@@ -271,6 +285,17 @@ class Series:
         return self._reduce(F.product(self._expr))
 
     product = prod
+
+    def any(self):
+        """Reference ``Any`` (_reductions.py:793-802); NULLs don't count
+        (pandas skipna default)."""
+        out = self._reduce(F.bool_or(self._expr.cast("boolean")))
+        return bool(out) if out is not None else False
+
+    def all(self):
+        """Reference ``All`` (_reductions.py:804-814)."""
+        out = self._reduce(F.bool_and(self._expr.cast("boolean")))
+        return bool(out) if out is not None else True
 
     def sem(self, ddof: int = 1):
         """Standard error of the mean: std/sqrt(count)."""
@@ -445,10 +470,13 @@ class Series:
             sdf = sdf.orderBy(F.desc("proportion" if normalize else "count"), F.asc(self.name))
         return SparkFrame(sdf.withColumn(INDEX, F.col(self.name)))
 
-    def rolling(self, window, min_periods: int | None = None) -> "Rolling":
+    def rolling(
+        self, window, min_periods: int | None = None, center: bool = False
+    ) -> "Rolling":
         """Reference ``Rolling`` (``_rolling.py:228``): integer row windows
-        or time-based windows (string offset) over index order."""
-        return Rolling(self, window, min_periods)
+        or time-based windows (string offset) over index order; ``center=``
+        per reference ``_rolling.py:120-122``."""
+        return Rolling(self, window, min_periods, center)
 
     def to_pandas(self) -> pd.Series:
         pdf = (
@@ -482,20 +510,34 @@ class Rolling:
     epoch seconds of the (timestamp) index — both JVM window functions, no
     MapOverlap machinery needed (SURVEY.md §2.10)."""
 
-    def __init__(self, series: Series, window, min_periods: int | None):
+    def __init__(
+        self, series: Series, window, min_periods: int | None, center: bool = False
+    ):
         self._s = series
         self._window = window
         self._min_periods = min_periods
+        self._center = center
 
     def _spec(self):
         if isinstance(self._window, int):
-            w = W.orderBy(INDEX).rowsBetween(-(self._window - 1), 0)
+            if self._center:
+                # pandas center: before = w//2, after = w - before - 1
+                # (reference _rolling.py:120-122)
+                before = self._window // 2
+                after = self._window - before - 1
+            else:
+                before, after = self._window - 1, 0
+            w = W.orderBy(INDEX).rowsBetween(-before, after)
             count_needed = self._min_periods if self._min_periods is not None else self._window
         else:
-            secs = _offset_seconds(self._window)
+            if self._center:
+                raise NotImplementedError("center=True requires an integer window")
+            # micros-resolution range window: sub-second timestamps bucket
+            # correctly (unix_timestamp would truncate to whole seconds)
+            usecs = _offset_seconds(self._window) * 1_000_000
             w = (
-                W.orderBy(F.unix_timestamp(F.col(INDEX)))
-                .rangeBetween(-(secs - 1), 0)
+                W.orderBy(F.unix_micros(F.col(INDEX)))
+                .rangeBetween(-(usecs - 1), 0)
             )
             count_needed = self._min_periods if self._min_periods is not None else 1
         return w, count_needed
@@ -538,10 +580,24 @@ class Rolling:
         return self._agg(lambda c: F.expr(f"percentile({self._s.name}, {q})"))
 
     def skew(self):
-        return self._agg(F.skewness)
+        """Sample-adjusted skew G1 = sqrt(n(n-1))/(n-2) * g1 — matches
+        pandas; Spark's ``skewness`` is the population g1."""
+        w, need = self._spec()
+        n = F.count(self._s._expr).over(w).cast("double")
+        g1 = F.skewness(self._s._expr).over(w)
+        G1 = F.sqrt(n * (n - 1)) / (n - 2) * g1
+        guard = (n >= need) & (n >= 3)
+        return Series(self._s._frame, F.when(guard, G1), self._s.name)
 
     def kurt(self):
-        return self._agg(F.kurtosis)
+        """Sample-adjusted excess kurtosis G2 = ((n+1)g2 + 6)(n-1)/((n-2)(n-3))
+        — matches pandas; Spark's ``kurtosis`` is the population g2."""
+        w, need = self._spec()
+        n = F.count(self._s._expr).over(w).cast("double")
+        g2 = F.kurtosis(self._s._expr).over(w)
+        G2 = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+        guard = (n >= need) & (n >= 4)
+        return Series(self._s._frame, F.when(guard, G2), self._s.name)
 
     def cov(self, other: "Series"):
         """Windowed covariance with another column of the same frame
@@ -596,8 +652,12 @@ class Resampler:
         self._secs = _offset_seconds(rule)
 
     def _bucket(self):
+        # F.floor (not cast) so pre-1970 timestamps bucket to the earlier
+        # boundary — cast('long') truncates toward zero, flooring only for
+        # positive epochs
         return F.timestamp_seconds(
-            (F.unix_timestamp(F.col(INDEX)) / self._secs).cast("long") * self._secs
+            F.floor(F.unix_timestamp(F.col(INDEX)) / self._secs).cast("long")
+            * self._secs
         )
 
     def agg(self, spec: Mapping[str, str]) -> "SparkFrame":
@@ -641,6 +701,25 @@ class Resampler:
 
     def nunique(self):
         return self._all("nunique")
+
+    def prod(self):
+        """Per-bucket product (reference ``ResampleProd``, ``_resample.py``)."""
+        return self._all("prod")
+
+    def median(self):
+        """Exact per-bucket median (reference ``ResampleMedian``)."""
+        return self._all("median")
+
+    def quantile(self, q: float = 0.5) -> "SparkFrame":
+        """Exact per-bucket percentile with linear interpolation — matches
+        pandas ``Resampler.quantile`` (reference ``ResampleQuantile``,
+        ``_resample.py:21-269``)."""
+        aggs = [
+            F.expr(f"percentile(`{c}`, {q})").alias(c) for c in self._frame.columns
+        ]
+        return SparkFrame(
+            self._frame._sdf.groupBy(self._bucket().alias(INDEX)).agg(*aggs)
+        )
 
     def sem(self) -> "SparkFrame":
         """Standard error of the mean per bucket (reference ResampleSem)."""
@@ -905,8 +984,28 @@ class SparkFrame:
     def nsmallest(self, n: int, columns) -> "SparkFrame":
         return SparkFrame(self._sdf.orderBy(*[F.asc(c) for c in _as_list(columns)]).limit(n))
 
-    def repartition(self, npartitions: int) -> "SparkFrame":
+    def repartition(
+        self, npartitions: int | None = None, freq: str | None = None
+    ) -> "SparkFrame":
+        """Reference ``Repartition{ToFewer,ToMore,Freq}``
+        (``_repartition.py:385-478``).  ``freq=`` range-partitions by the
+        time-bucketed index so each partition holds whole time buckets; the
+        size-based variant is runtime-handled by AQE coalescing."""
+        if freq is not None:
+            secs = _offset_seconds(freq)
+            bucket = F.floor(F.unix_timestamp(F.col(INDEX)) / secs)
+            sdf = (
+                self._sdf.repartitionByRange(npartitions, bucket)
+                if npartitions
+                else self._sdf.repartitionByRange(bucket)
+            )
+            return SparkFrame(sdf)
         return SparkFrame(self._sdf.repartition(npartitions))
+
+    def coalesce(self, npartitions: int) -> "SparkFrame":
+        """Shuffle-free partition-count reduction (reference
+        ``RepartitionToFewer``, ``_repartition.py:385``)."""
+        return SparkFrame(self._sdf.coalesce(npartitions))
 
     @property
     def npartitions(self) -> int:
@@ -922,6 +1021,7 @@ class SparkFrame:
         right_on=None,
         suffixes: tuple[str, str] = ("_x", "_y"),
         broadcast: bool = False,
+        indicator: bool = False,
     ) -> "SparkFrame":
         lkeys = _as_list(on) or _as_list(left_on)
         rkeys = _as_list(on) or _as_list(right_on)
@@ -934,6 +1034,11 @@ class SparkFrame:
         ) - {INDEX}
         lsdf = lsdf.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
         rsdf = rsdf.withColumnsRenamed({c: c + suffixes[1] for c in overlap})
+        if indicator:
+            # reference _merge.py `indicator` operand: "_merge" column
+            # marking row provenance (left_only / right_only / both)
+            lsdf = lsdf.withColumn("__ind_l__", F.lit(True))
+            rsdf = rsdf.withColumn("__ind_r__", F.lit(True))
         fix = lambda c, sfx: c + sfx if c in overlap else c  # noqa: E731
         cond = None
         for lk, rk in zip(lkeys, rkeys):
@@ -941,12 +1046,45 @@ class SparkFrame:
             cond = c if cond is None else (cond & c)
         if broadcast:
             rsdf = F.broadcast(rsdf)
-        joined = lsdf.join(rsdf, cond if lkeys != [INDEX] else lkeys, how)
-        # drop duplicate right-side key columns for equi-key joins
-        for lk, rk in zip(lkeys, rkeys):
-            if lk == rk and lk != INDEX and lk in lsdf.columns and lk in rsdf.columns:
-                joined = joined.drop(rsdf[fix(rk, suffixes[1])])
-        return SparkFrame(joined)
+
+        def _merge_flag(lcol, rcol):
+            return (
+                F.when(lcol.isNotNull() & rcol.isNotNull(), F.lit("both"))
+                .when(lcol.isNotNull(), F.lit("left_only"))
+                .otherwise(F.lit("right_only"))
+                .alias("_merge")
+            )
+
+        if lkeys == [INDEX]:
+            joined = lsdf.join(rsdf, lkeys, how)
+            if indicator:
+                joined = joined.withColumn(
+                    "_merge", _merge_flag(F.col("__ind_l__"), F.col("__ind_r__"))
+                ).drop("__ind_l__", "__ind_r__")
+            return SparkFrame(joined)
+        joined = lsdf.join(rsdf, cond, how)
+        # Pandas semantics for shared equi-keys: one output key column. For
+        # right/outer joins the left key is NULL on right-only rows, so
+        # coalesce both sides (reference _merge.py key handling) instead of
+        # dropping the right key unconditionally.
+        outerish = how in ("right", "right_outer", "outer", "full", "fullouter", "full_outer")
+        shared = {
+            lk for lk, rk in zip(lkeys, rkeys)
+            if lk == rk and lk in lsdf.columns and lk in rsdf.columns
+        }
+        hidden = {"__ind_l__", "__ind_r__"}
+        sel = []
+        for c in lsdf.columns:
+            if c in hidden:
+                continue
+            if c in shared and outerish:
+                sel.append(F.coalesce(lsdf[c], rsdf[c]).alias(c))
+            else:
+                sel.append(lsdf[c])
+        sel.extend(rsdf[c] for c in rsdf.columns if c not in shared and c not in hidden)
+        if indicator:
+            sel.append(_merge_flag(lsdf["__ind_l__"], rsdf["__ind_r__"]))
+        return SparkFrame(joined.select(*sel))
 
     def join(self, right: "SparkFrame", how: str = "left") -> "SparkFrame":
         return self.merge(right, on=INDEX, how=how)
@@ -1095,11 +1233,22 @@ class SparkFrame:
         return SparkFrame(self._sdf.mapInPandas(fn, schema))
 
     def apply_rows(self, fn: Callable, schema) -> "SparkFrame":
+        """Row-wise apply via Arrow-batched mapInPandas (reference ``Apply``,
+        ``_expr.py`` apply path).  The index column is carried through
+        automatically; ``schema`` describes only the user-visible columns."""
+        idx_type = self._sdf.schema[INDEX].dataType.simpleString()
+        full_schema = (
+            schema if INDEX in str(schema) else f"{schema}, {INDEX} {idx_type}"
+        )
+
         def _mapper(it):
             for pdf in it:
-                yield pdf.apply(fn, axis=1, result_type="expand")
+                out = pdf.apply(fn, axis=1, result_type="expand")
+                if INDEX not in out.columns:
+                    out[INDEX] = pdf[INDEX].values
+                yield out
 
-        return SparkFrame(self._sdf.mapInPandas(_mapper, schema))
+        return SparkFrame(self._sdf.mapInPandas(_mapper, full_schema))
 
     # -- materialization ----------------------------------------------------
     def _finalize(self, pdf: pd.DataFrame) -> pd.DataFrame:

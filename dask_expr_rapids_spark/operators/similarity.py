@@ -133,9 +133,15 @@ def kmeans_assign(
     agg.  ``iters`` is a small constant: this is a quantizer, not a
     convergence-grade clustering.
     """
+    if iters < 1:
+        raise ValueError("kmeans_assign requires iters >= 1")
     q = corpus.select(F.col(id_col), quantize(F.col(vec_col)).alias("__qv__"))
-    cents = q.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("__cid__"), F.col("__qv__").alias("__cv__")
+    # seed = the k lowest ids actually present (works for sparse/offset ids,
+    # e.g. a filtered corpus) — k×dim rows, trivially collected by limit
+    cents = (
+        q.orderBy(F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("__cid__"), F.col("__qv__").alias("__cv__"))
     )
     for _ in range(iters):
         d2 = _isum(F.zip_with("__qv__", "__cv__", lambda x, y: (x - y) * (x - y)))

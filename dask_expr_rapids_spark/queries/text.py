@@ -288,7 +288,9 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
         *[F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("g")))).alias(f"h{j}") for j in range(_K)],
         F.collect_set("g").alias("gset"),
     ).withColumn("n", F.size("gset"))
-    mh = mh.persist()
+    from .registry import cache_scoped
+
+    mh = cache_scoped(mh)
     n_bands = _K // _ROWS_PER_BAND
     sigs = mh.select(
         "doc_id",

@@ -114,7 +114,32 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     (much larger) expanded intermediate.
     """
     n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    # estimate scan fan-out from driver-side file metadata (inputFiles +
+    # maxPartitionBytes) instead of df.rdd.getNumPartitions(), which would
+    # materialize the RDD lineage on every call
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df  # non-file sources (range, in-memory) are already spread
+    mpb_raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    digits = "".join(ch for ch in str(mpb_raw) if ch.isdigit())
+    mpb = int(digits) if digits else 134217728
+    if "mb" in str(mpb_raw).lower():
+        mpb *= 1 << 20
+    total = 0
+    for f in files:
+        from urllib.parse import urlparse, unquote
+
+        p = unquote(urlparse(f).path) or f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            total = None
+            break
+    est = max(1, -(-total // mpb)) if total is not None else len(files)
+    return df.repartition(n) if est < n else df
 
 
 def timeseries(
