@@ -9,10 +9,10 @@ Import order matters only for registration side effects.
 
 from .registry import REGISTRY, Query, register, queries, oracle_sql
 
-from . import relational  # noqa: E402,F401
-from . import tpch_ext  # noqa: E402,F401
-from . import aggregates  # noqa: E402,F401
-from . import window  # noqa: E402,F401
+# Registration order = driver verification order (the driver's CORRECTNESS
+# window covers the first 50 registered queries).  The LLM-pipeline /
+# breadth / round-2 queries register FIRST this round; the relational core
+# (fully driver-verified in round 1, see CORRECTNESS_r01.json) follows.
 from . import text  # noqa: E402,F401
 from . import dedup_ext  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
@@ -20,5 +20,10 @@ from . import multimodal  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import breadth  # noqa: E402,F401
 from . import frame_api  # noqa: E402,F401
+from . import round2  # noqa: E402,F401
+from . import relational  # noqa: E402,F401
+from . import tpch_ext  # noqa: E402,F401
+from . import aggregates  # noqa: E402,F401
+from . import window  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register", "queries", "oracle_sql"]

@@ -312,29 +312,68 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Embedding-cosine near-dup: sign-bit LSH (first 8 dims) → in-bucket exact
-# quantized cosine.  Quantization contract shared with queries/similarity.py.
+# Embedding-cosine near-dup: banded sign-bit LSH (8 bands × 8 bits = all 64
+# dims) → deterministic per-bucket cap → in-bucket exact quantized cosine.
+# Quantization contract shared with queries/similarity.py.
+#
+# Skew posture: a band key is 8 sign bits, so a pathological bucket could
+# collect n/256 vectors; the cap bounds every bucket to _BUCKET_CAP members
+# (rank = md5(vec_id) — deterministic pseudo-random, so the kept subset is
+# unbiased and identical in both engines).  Per-band join work is therefore
+# ≤ buckets × cap², never (n/256)², regardless of data skew.  At larger
+# corpora raise _BITS_PER_BAND (finer buckets) and the band count together —
+# band count tunes recall, bits/band tunes bucket size; the union of 8 bands
+# has ~7× the recall of the old single-band key at the 0.3-0.45 cosine range
+# this threshold targets.
 # --------------------------------------------------------------------------
 _COS_MIN = 0.3
-_SIGN_BITS = 8
+_EMB_BANDS = 8
+_EMB_BITS = 8  # bits per band; bands × bits = embedding dims
+_BUCKET_CAP = 256
 _DIM = 64
 _Q = 1_000_000
 
 _QE = "CAST(round(CAST({v}.embedding[CAST(u AS INT) + 1] AS DOUBLE) * 1000000, 0) AS BIGINT)"
-_SIGN_KEY_SQL = " || ".join(
-    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
-    for i in range(_SIGN_BITS)
+_EMB_KEY_SQL = [
+    "("
+    + " + ".join(
+        f"(CASE WHEN embedding[{b * _EMB_BITS + j + 1}] >= 0 "
+        f"THEN {1 << (_EMB_BITS - 1 - j)} ELSE 0 END)"
+        for j in range(_EMB_BITS)
+    )
+    + f") AS k{b}"
+    for b in range(_EMB_BANDS)
+]
+_EMB_BAND_UNION_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT vec_id, {b} AS band, k{b} AS bkey FROM v"
+    for b in range(_EMB_BANDS)
 )
 
 _EMB_NEARDUP_SQL = f"""
-    WITH v AS (SELECT vec_id, embedding, {_SIGN_KEY_SQL} AS bkey FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding, {", ".join(_EMB_KEY_SQL)} FROM embeddings),
+    bands AS (
+{_EMB_BAND_UNION_SQL}
+    ),
+    capped AS (
+      SELECT vec_id, band, bkey FROM (
+        SELECT vec_id, band, bkey,
+               row_number() OVER (PARTITION BY band, bkey
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM bands) WHERE rn <= {_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+                                 AND a.vec_id < b.vec_id
+    ),
     qdots AS (
-      SELECT a.vec_id AS id1, b.vec_id AS id2,
+      SELECT c.id1, c.id2,
              SUM({_QE.format(v='a')} * {_QE.format(v='b')}) AS dot,
              SUM({_QE.format(v='a')} * {_QE.format(v='a')}) AS n1,
              SUM({_QE.format(v='b')} * {_QE.format(v='b')}) AS n2
-      FROM v a
-      JOIN v b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+      FROM cand c
+      JOIN embeddings a ON c.id1 = a.vec_id
+      JOIN embeddings b ON c.id2 = b.vec_id
       CROSS JOIN (SELECT unnest(range({_DIM})) AS u) u
       GROUP BY 1, 2
     )
@@ -348,26 +387,67 @@ _EMB_NEARDUP_SQL = f"""
 """
 
 
+def _emb_banded_capped(e, cap: int = _BUCKET_CAP):
+    """(vec_id, qv, band, bkey) with every (band, bkey) bucket capped to
+    ``cap`` members by deterministic md5 rank — the skew-bounding stage."""
+    from pyspark.sql import Window as W
+
+    qv = F.transform("embedding", lambda x: F.round(x.cast("double") * _Q, 0).cast("long"))
+    keys = [
+        sum(
+            F.when(
+                F.element_at("embedding", b * _EMB_BITS + j + 1) >= 0,
+                1 << (_EMB_BITS - 1 - j),
+            ).otherwise(0)
+            for j in range(_EMB_BITS)
+        ).alias(f"k{b}")
+        for b in range(_EMB_BANDS)
+    ]
+    v = e.select("vec_id", qv.alias("qv"), *keys)
+    bands = v.select(
+        "vec_id",
+        "qv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"k{b}").alias("bkey")
+                    )
+                    for b in range(_EMB_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "qv", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    w = W.partitionBy("band", "bkey").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        bands.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= cap)
+        .drop("__rn__")
+    )
+
+
 @register("dedup_embedding_cosine", _EMB_NEARDUP_SQL)
 def dedup_embedding_cosine(spark, sf_dir):
-    """Sign-bit-LSH bucketed embedding near-dup with exact cosine verify.
+    """Banded sign-LSH embedding near-dup with capped buckets and exact
+    cosine verify.
 
-    Candidates come only from sign-bucket equality (2^8 buckets): the
-    self-join is per-bucket, so cost is sum of bucket² not corpus².  The
-    quantized dot/norms make Spark and DuckDB bit-identical.
+    Candidates come from per-band sign-key equality; every bucket is capped
+    (see ``_emb_banded_capped``), so join work is bounded under any skew.
+    The full quantized vector rides through the band join — verification is
+    inline in the join's codegen stage (same shape as ``dedup_simhash``) —
+    and the union-of-bands duplicates collapse in one final distinct.
     """
     e = spread(load_table(spark, sf_dir, "embeddings"))
-    qv = F.transform("embedding", lambda x: F.round(x.cast("double") * _Q, 0).cast("long"))
-    bkey = F.concat(
-        *[
-            F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
-            for i in range(_SIGN_BITS)
-        ]
+    capped = cache_scoped(_emb_banded_capped(e))
+    a = capped.select(
+        F.col("vec_id").alias("id1"), F.col("qv").alias("q1"), "band", "bkey"
     )
-    v = e.select("vec_id", qv.alias("qv"), bkey.alias("bkey"))
-    a = v.select(F.col("vec_id").alias("id1"), F.col("qv").alias("q1"), "bkey")
-    b = v.select(F.col("vec_id").alias("id2"), F.col("qv").alias("q2"), "bkey")
-    pairs = a.join(b, "bkey").filter(F.col("id1") < F.col("id2"))
+    b = capped.select(
+        F.col("vec_id").alias("id2"), F.col("qv").alias("q2"), "band", "bkey"
+    )
+    pairs = a.join(b, ["band", "bkey"]).filter(F.col("id1") < F.col("id2"))
     dot = F.aggregate(
         F.zip_with("q1", "q2", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
@@ -378,4 +458,5 @@ def dedup_embedding_cosine(spark, sf_dir):
         pairs.withColumn("cosine_raw", cos)
         .filter(F.col("cosine_raw") >= _COS_MIN)
         .select("id1", "id2", pround(F.col("cosine_raw"), 6).alias("cosine"))
+        .distinct()
     )

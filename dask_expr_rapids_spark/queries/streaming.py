@@ -13,14 +13,12 @@ from __future__ import annotations
 
 import itertools
 import os
-import shutil
 import tempfile
-
-from pyspark.sql import functions as F
 
 from ..streaming.ops import (
     read_events_stream,
     run_available_now,
+    run_available_now_to_files,
     sessionize,
     windowed_counts,
 )
@@ -29,12 +27,10 @@ from .registry import register
 _sink_counter = itertools.count()
 
 
-def _staged_events_dir(sf_dir: str) -> str:
-    """File streams read directories: stage events.parquet into a tmp dir
-    (driver-side copy of one file; test scales only)."""
-    d = tempfile.mkdtemp(prefix="spark_graft_stream_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "part-000.parquet"))
-    return d
+def _events_stream(spark, sf_dir: str):
+    """Stream events.parquet in place (pathGlobFilter on the data dir) —
+    no driver-side staging copy."""
+    return read_events_stream(spark, sf_dir, glob_filter="events.parquet")
 
 
 @register(
@@ -49,8 +45,9 @@ def _staged_events_dir(sf_dir: str) -> str:
 )
 def stream_windowed_event_counts(spark, sf_dir):
     """Tumbling 1-hour event-time windows computed BY A STREAMING JOB,
-    equal to the batch GROUP BY time-bucket (oracle)."""
-    stream = read_events_stream(spark, _staged_events_dir(sf_dir))
+    equal to the batch GROUP BY time-bucket (oracle).  Memory-sink demo
+    path — the file-sink production drain is ``stream_sessionize_users``."""
+    stream = _events_stream(spark, sf_dir)
     sink = f"stream_win_counts_{next(_sink_counter)}"
     out = run_available_now(
         windowed_counts(stream, window="1 hour", watermark="2 hours"),
@@ -88,11 +85,15 @@ def stream_windowed_event_counts(spark, sf_dir):
 )
 def stream_sessionize_users(spark, sf_dir):
     """Per-user 30-minute-gap sessions computed BY A STREAMING JOB with
-    native session windows; oracle = batch gaps-and-islands SQL."""
-    stream = read_events_stream(spark, _staged_events_dir(sf_dir))
-    sink = f"stream_sessions_{next(_sink_counter)}"
-    return run_available_now(
+    native session windows; oracle = batch gaps-and-islands SQL.
+
+    Production-shaped drain: executors write the result to a parquet sink
+    directory via ``foreachBatch`` — no driver-side staging
+    or memory-sink accumulation anywhere in the path."""
+    stream = _events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_sessions_")
+    return run_available_now_to_files(
         sessionize(stream, gap="30 minutes", watermark="2 hours"),
-        sink,
+        out_dir,
         output_mode="complete",
     )

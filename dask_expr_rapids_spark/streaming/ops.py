@@ -28,7 +28,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def read_events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    glob_filter: str | None = None,
 ) -> DataFrame:
     """File-based event stream with the batch loader's ts conversion.
 
@@ -37,12 +40,21 @@ def read_events_stream(
     ns-timestamp handling follow whatever the session's parquet config is
     (``ts`` may arrive as nanosecond longs under ``nanosAsLong`` — converted
     to microsecond timestamps exactly like ``sources.tables.load_table``).
+
+    ``path`` must be a directory (file-source contract); ``glob_filter``
+    narrows it to matching files — so a single table file inside a shared
+    directory streams without any staging copy.
     """
     # events.ts is TIMESTAMP(NANOS) parquet — ensure the legacy read path
     # regardless of how the caller's session was built (runtime-settable).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    probe = spark.read
+    if glob_filter:
+        probe = probe.option("pathGlobFilter", glob_filter)
+    schema = probe.parquet(path).schema
     reader = spark.readStream.schema(schema)
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(path)
@@ -147,7 +159,10 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 def run_available_now(stream_df: DataFrame, sink_table: str, output_mode: str = "complete"):
     """Drain everything currently available through the streaming plan into
     an in-memory sink table, then stop.  Returns the query's final table
-    (``spark.table(sink_table)``) for inspection/diffing."""
+    (``spark.table(sink_table)``) for inspection/diffing.
+
+    Test/demo harness only — the memory sink accumulates on the driver; the
+    production drain is :func:`run_available_now_to_files`."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(sink_table)
@@ -157,3 +172,43 @@ def run_available_now(stream_df: DataFrame, sink_table: str, output_mode: str = 
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(sink_table)
+
+
+def run_available_now_to_files(
+    stream_df: DataFrame,
+    out_dir: str,
+    output_mode: str = "update",
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Backfill drain to a parquet directory: every micro-batch is written
+    by the EXECUTORS via ``foreachBatch`` — nothing accumulates on the
+    driver, unlike the memory sink.
+
+    ``availableNow`` with no file-rate cap processes all available input in
+    ONE batch, so overwrite-per-batch is exactly-once and the directory
+    holds the final state when the query terminates.  A continuous
+    production job would swap this for a kafka/delta sink with the same
+    plan; rate-capped multi-batch drains need a compacting sink keyed by
+    batch id instead of overwrite.
+
+    Returns a batch DataFrame over the sink directory.
+    """
+    import tempfile
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        # a drained aggregate is small relative to its input — cap the file
+        # fan-out so the sink isn't dominated by per-file open/commit cost
+        batch_df.coalesce(8).write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="spark_graft_ckpt_"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.read.parquet(out_dir)

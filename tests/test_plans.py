@@ -10,34 +10,30 @@ counts)."""
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 import pytest
 from pyspark.sql import functions as F
 
+from dask_expr_rapids_spark.plans import (
+    plan_of,
+    pushed_filters,
+    read_schema,
+)
 from dask_expr_rapids_spark.queries import REGISTRY
 from dask_expr_rapids_spark.sources.tables import load_table
 
 from .conftest import SF_DIR
 
 
-def plan_of(df, mode: str = "formatted") -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
-
-
 def test_filter_and_projection_pushed_to_scan(spark):
     l = load_table(spark, SF_DIR, "lineitem")
     df = l.filter(F.col("l_quantity") < 10).select("l_orderkey", "l_quantity")
-    plan = plan_of(df)
-    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)" in plan
+    pushed = pushed_filters(df)
+    assert "IsNotNull(l_quantity)" in pushed
+    assert any(p.startswith("LessThan(l_quantity") for p in pushed)
     # scan must read ONLY the two projected columns
-    readschema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
-    assert "l_orderkey" in readschema and "l_quantity" in readschema
-    assert "l_extendedprice" not in readschema and "l_shipdate" not in readschema
+    cols = read_schema(df)
+    assert "l_orderkey" in cols and "l_quantity" in cols
+    assert "l_extendedprice" not in cols and "l_shipdate" not in cols
 
 
 def test_broadcast_join_selected_for_dims(spark):

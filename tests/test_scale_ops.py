@@ -93,3 +93,26 @@ def test_ivf_recall_with_kmeans_clusters(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+
+
+def test_embedding_dedup_bucket_fanout_bounded(spark):
+    """The banded-LSH candidate stage caps every (band, bkey) bucket, so
+    per-bucket self-join work is <= cap^2 under ANY key skew — the 100-TB
+    guarantee behind dedup_embedding_cosine."""
+    from dask_expr_rapids_spark.queries.dedup_ext import _emb_banded_capped
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    # force a pathological cap to prove the bound binds (not just that data
+    # happens to be small)
+    capped = _emb_banded_capped(e, cap=3)
+    sizes = capped.groupBy("band", "bkey").count().agg(F.max("count")).collect()[0][0]
+    assert sizes <= 3
+    # default cap: bound also holds, and at this scale it never binds, so
+    # the capped candidate set equals the uncapped one (no recall loss)
+    default = _emb_banded_capped(e)
+    max_default = default.groupBy("band", "bkey").count().agg(F.max("count")).collect()[0][0]
+    from dask_expr_rapids_spark.queries.dedup_ext import _BUCKET_CAP
+
+    assert max_default <= _BUCKET_CAP
+    n_bands_rows = e.count() * 8
+    assert default.count() == n_bands_rows  # nothing dropped at test scale
