@@ -774,6 +774,79 @@ class SparkFrame:
         return cls(sdf)
 
     @classmethod
+    def from_array(
+        cls,
+        spark: SparkSession,
+        arr,
+        columns=None,
+        chunksize: int = 50_000,
+    ) -> "SparkFrame":
+        """Reference ``FromArray`` (``io/io.py:484-546``): 1-D array →
+        single column ``"0"``; 2-D → one column per second-axis slot, index
+        = 0..n-1.  ``chunksize`` maps to partition count (the reference's
+        per-chunk task = a Spark partition)."""
+        import numpy as np
+
+        a = np.asarray(arr)
+        if a.ndim == 1:
+            pdf = pd.DataFrame({(columns[0] if columns else "0"): a})
+        else:
+            cols = list(columns) if columns is not None else [str(i) for i in range(a.shape[1])]
+            pdf = pd.DataFrame(a, columns=cols)
+        nparts = max(1, -(-len(a) // chunksize))
+        return cls.from_pandas(spark, pdf, npartitions=nparts)
+
+    @classmethod
+    def from_scalars(cls, spark: SparkSession, values, names) -> "SparkFrame":
+        """Reference ``FromScalars`` (``io/io.py:443-481``): a one-partition
+        series-like frame with index = ``names`` and the scalar values in
+        column ``"0"``."""
+        pdf = pd.DataFrame({"0": list(values)}, index=list(names))
+        return cls.from_pandas(spark, pdf, npartitions=1)
+
+    @classmethod
+    def from_map(
+        cls,
+        spark: SparkSession,
+        fn: Callable,
+        items,
+        schema,
+        npartitions: int | None = None,
+    ) -> "SparkFrame":
+        """Reference ``FromMap`` (``io/io.py:139-213``): one input item →
+        one partition's worth of rows, produced by ``fn(item)`` (a pandas
+        DataFrame matching ``schema``).
+
+        Spark-first shape: the item list rides the closure; a ``range``
+        frame with one row per item fans out across executors and
+        ``mapInPandas`` calls ``fn`` per item — arbitrary Python
+        constructors (file readers, API fetches) without any RDD surface.
+        """
+        items = list(items)
+        idx = spark.range(len(items)).repartition(npartitions or max(1, len(items)))
+
+        def _mapper(it):
+            for pdf in it:
+                for i in pdf["id"]:
+                    out = fn(items[int(i)])
+                    if INDEX not in out.columns:
+                        out = out.copy()
+                        out[INDEX] = out.index.to_numpy()
+                    yield out
+
+        full_schema = schema if INDEX in str(schema) else f"{schema}, {INDEX} long"
+        return cls(idx.mapInPandas(_mapper, full_schema))
+
+    @classmethod
+    def from_delayed(
+        cls, spark: SparkSession, thunks, schema, npartitions: int | None = None
+    ) -> "SparkFrame":
+        """Reference ``FromDelayed`` (``io/_delayed.py``): deferred
+        zero-argument callables, each producing one partition's pandas
+        frame; evaluation happens on executors at scan time."""
+        return cls.from_map(spark, lambda t: t(), thunks, schema, npartitions)
+
+    @classmethod
     def read_parquet(
         cls, spark: SparkSession, path: str, index: str | None = None
     ) -> "SparkFrame":
@@ -1086,8 +1159,75 @@ class SparkFrame:
             sel.append(_merge_flag(lsdf["__ind_l__"], rsdf["__ind_r__"]))
         return SparkFrame(joined.select(*sel))
 
-    def join(self, right: "SparkFrame", how: str = "left") -> "SparkFrame":
+    def join(self, right, how: str = "left") -> "SparkFrame":
+        """Index join; ``right`` may be one frame or a list (reference
+        ``JoinRecursive``, ``_merge.py`` join-a-list path — folded left)."""
+        if isinstance(right, (list, tuple)):
+            out = self
+            for r in right:
+                out = out.merge(r, on=INDEX, how=how)
+            return out
         return self.merge(right, on=INDEX, how=how)
+
+    # -- row-wise (axis=1) reductions (reference VarColumns/NUniqueColumns
+    # family, _reductions.py row-wise ops) ----------------------------------
+    def _row_values(self, skipna: bool = True) -> Column:
+        arr = F.array(*[F.col(c).cast("double") for c in self.columns])
+        return F.filter(arr, lambda x: x.isNotNull()) if skipna else arr
+
+    def _axis1(self, axis) -> bool:
+        if axis in (1, "columns"):
+            return True
+        raise NotImplementedError(
+            "axis=0 frame reductions: use the Series API per column "
+            "(reference semantics covered by Series.sum/mean/...)"
+        )
+
+    def sum(self, axis=1) -> Series:
+        self._axis1(axis)
+        arr = self._row_values()
+        return Series(
+            self, F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), "sum"
+        )
+
+    def mean(self, axis=1) -> Series:
+        self._axis1(axis)
+        arr = self._row_values()
+        n = F.size(arr)
+        total = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+        return Series(self, F.when(n > 0, total / n), "mean")
+
+    def min(self, axis=1) -> Series:
+        self._axis1(axis)
+        return Series(self, F.array_min(self._row_values()), "min")
+
+    def max(self, axis=1) -> Series:
+        self._axis1(axis)
+        return Series(self, F.array_max(self._row_values()), "max")
+
+    def var(self, axis=1, ddof: int = 1) -> Series:
+        """Reference ``VarColumns`` (row-wise variance)."""
+        self._axis1(axis)
+        arr = self._row_values()
+        n = F.size(arr).cast("double")
+        s1 = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+        s2 = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+        var = (s2 - s1 * s1 / n) / (n - ddof)
+        return Series(self, F.when(n > ddof, var), "var")
+
+    def std(self, axis=1, ddof: int = 1) -> Series:
+        self._axis1(axis)
+        return Series(self, F.sqrt(self.var(axis, ddof)._expr), "std")
+
+    def nunique_row(self) -> Series:
+        """Reference ``NUniqueColumns``: distinct values within each row
+        (string-compared across dtypes like pandas object coercion)."""
+        arr = F.array(*[F.col(c).cast("string") for c in self.columns])
+        return Series(
+            self,
+            F.size(F.array_distinct(F.filter(arr, lambda x: x.isNotNull()))),
+            "nunique",
+        )
 
     # -- set ops (reference _concat.py) ------------------------------------
     def concat(self, *others: "SparkFrame") -> "SparkFrame":

@@ -291,3 +291,90 @@ def test_spread_non_file_source_untouched(spark):
 
     df = spark.range(100)
     assert spread(df) is df
+
+
+# -- §2.1 named constructors (reference io/io.py:139-546) ------------------
+
+
+def test_from_array_1d_2d(spark):
+    a1 = np.arange(10.0)
+    f1 = SparkFrame.from_array(spark, a1)
+    got1 = f1.to_pandas()
+    assert list(got1["0"]) == list(a1)
+
+    a2 = np.arange(12.0).reshape(4, 3)
+    f2 = SparkFrame.from_array(spark, a2, columns=["a", "b", "c"])
+    got2 = f2.to_pandas().sort_index()
+    want2 = pd.DataFrame(a2, columns=["a", "b", "c"])
+    pdt.assert_frame_equal(got2, want2, check_dtype=False)
+
+
+def test_from_scalars(spark):
+    f = SparkFrame.from_scalars(spark, [1.5, 2.5, 3.5], names=["x", "y", "z"])
+    got = f.to_pandas()
+    assert dict(zip(got.index, got["0"])) == {"x": 1.5, "y": 2.5, "z": 3.5}
+
+
+def test_from_map(spark):
+    def make(item):
+        return pd.DataFrame({"src": [item] * 2, "v": [1.0, 2.0]})
+
+    f = SparkFrame.from_map(spark, make, ["p1", "p2", "p3"], schema="src string, v double")
+    got = f.to_pandas()
+    assert len(got) == 6
+    assert sorted(set(got["src"])) == ["p1", "p2", "p3"]
+    assert got.groupby("src")["v"].sum().eq(3.0).all()
+
+
+def test_from_delayed(spark):
+    thunks = [lambda i=i: pd.DataFrame({"v": [float(i)]}) for i in range(4)]
+    f = SparkFrame.from_delayed(spark, thunks, schema="v double")
+    got = sorted(f.to_pandas()["v"])
+    assert got == [0.0, 1.0, 2.0, 3.0]
+
+
+# -- JoinRecursive list API ------------------------------------------------
+
+
+def test_join_list_of_frames(spark):
+    base = pd.DataFrame({"a": [1.0, 2.0, 3.0]}, index=[0, 1, 2])
+    f = SparkFrame.from_pandas(spark, base)
+    others = [
+        SparkFrame.from_pandas(spark, pd.DataFrame({"b": [10.0, 20.0]}, index=[0, 1])),
+        SparkFrame.from_pandas(spark, pd.DataFrame({"c": [5.0]}, index=[2])),
+    ]
+    got = f.join(others, how="left").to_pandas().sort_index()
+    want = base.join([o for o in [
+        pd.DataFrame({"b": [10.0, 20.0]}, index=[0, 1]),
+        pd.DataFrame({"c": [5.0]}, index=[2]),
+    ]], how="left")
+    pdt.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+# -- row-wise (axis=1) reductions ------------------------------------------
+
+
+def test_rowwise_reductions(spark):
+    p = pd.DataFrame(
+        {"a": [1.0, 2.0, None], "b": [4.0, None, 6.0], "c": [7.0, 8.0, 9.0]}
+    )
+    f = SparkFrame.from_pandas(spark, p)
+    num = p[["a", "b", "c"]]
+    eq_series(f.sum(axis=1), num.sum(axis=1))
+    eq_series(f.mean(axis=1), num.mean(axis=1))
+    eq_series(f.min(axis=1), num.min(axis=1))
+    eq_series(f.max(axis=1), num.max(axis=1))
+    eq_series(f.var(axis=1), num.var(axis=1))
+    eq_series(f.std(axis=1), num.std(axis=1))
+
+
+def test_rowwise_nunique(spark):
+    p = pd.DataFrame({"a": [1.0, 2.0], "b": [1.0, 3.0], "c": [2.0, 3.0]})
+    f = SparkFrame.from_pandas(spark, p)
+    eq_series(f.nunique_row(), p.nunique(axis=1))
+
+
+def test_frame_axis0_reduction_raises(spark, pdf):
+    f = SparkFrame.from_pandas(spark, pdf)
+    with pytest.raises(NotImplementedError):
+        f.sum(axis=0)
