@@ -1,0 +1,126 @@
+"""Distributed graph operators for dedup pipelines: connected components
+over a near-duplicate pair list.
+
+Why this exists: every pairwise near-dup detector (MinHash, SimHash,
+n-gram Jaccard, embedding LSH — queries/text.py, queries/dedup_ext.py)
+emits edges, but the pipeline-level deliverable is "keep one canonical
+document per duplicate CLUSTER".  Enumerating pairs inside a k-document
+duplicate cluster is O(k²) output — measured concretely at sf0.1, one
+~580-doc cluster yields ~166k pairs — while the cluster labeling is O(k).
+At 100 TB pair enumeration is impossible for large clusters; components
+are the scalable output shape.
+
+Algorithm: iterative min-label propagation (each node adopts the minimum
+component id among itself and its neighbors) until fixpoint.  Per
+iteration: one join + one groupBy = two shuffles over the edge list;
+iteration count = graph diameter, which for near-dup graphs is tiny
+(duplicate clusters are dense, star-like).  For adversarial
+long-diameter graphs the alternating large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce", SoCC'14) converges
+in O(log² n) rounds — not needed for dedup-shaped graphs, noted for
+parity of design.
+
+Not in the reference (its surface stops at the pandas algebra); this is
+the LLM-data extension layer (SURVEY.md §7 phase 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in the edge list; ``component`` =
+    the minimum node id reachable from the node (deterministic canonical
+    label).
+
+    Scale posture: labels and edges shuffle on node id each round;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1.  The convergence check is a count of
+    changed labels — one action per round, O(diameter) rounds.
+    """
+    half = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    # materialize the (possibly expensive) edge producer ONCE — every
+    # iteration joins against it, and without this the upstream pipeline
+    # (e.g. a full LSH dedup query) would replay per round
+    sym = half.union(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    # The iteration state is tiny relative to the input (nodes-in-clusters,
+    # not corpus rows): run the loop at a low shuffle fan-out so per-round
+    # cost is data, not task-scheduling overhead.  At true scale pass the
+    # session default back via this conf before calling.
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = min(int(prev_parts), 8)
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = _propagate(sym, labels, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return labels
+
+
+def _propagate(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        prop = labels.join(nb_min, labels["node"] == nb_min["a"], "left").select(
+            "node",
+            F.col("comp").alias("old_comp"),
+            F.least(F.col("comp"), F.coalesce("nb_comp", F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        # path halving (pointer jumping): also adopt the label OF the label,
+        # collapsing chains in O(log diameter) rounds instead of O(diameter)
+        # — near-dup graphs contain paths (A~B~C without A~C), not only
+        # cliques, so plain propagation needs diameter rounds (9 measured
+        # at sf0.1 vs 5 with halving)
+        parents = prop.select(
+            F.col("node").alias("pnode"), F.col("comp").alias("pcomp")
+        )
+        # one materialization per round carries (old, new) label pairs, so
+        # the convergence count is a cheap scan of checkpointed data
+        step = (
+            prop.join(parents, prop["comp"] == parents["pnode"], "left")
+            .select(
+                "node",
+                "old_comp",
+                F.least(
+                    F.col("comp"), F.coalesce("pcomp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = step.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = step.select("node", "comp")
+        if changed == 0:
+            break
+    return labels
+
+
+def component_summary(labels: DataFrame) -> DataFrame:
+    """Per-component rollup: size and canonical (minimum) member — the
+    "which doc do we keep" table of a dedup pipeline."""
+    return labels.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("canonical"),
+    )

@@ -1,0 +1,67 @@
+"""Deterministic sampling operators for training-data curation.
+
+Data mixes for model training are specified as per-source rates ("keep
+10% of web, 50% of books") or exact per-stratum counts.  Spark's
+``df.sample`` is seeded per-partition — resplitting the input changes
+the sample — so curation pipelines use HASH-based selection instead:
+membership is a pure function of the row key, reproducible across
+cluster sizes, partitionings, engines, and reruns, and trivially
+auditable (the SQL oracle computes the same md5 arithmetic).
+
+Scale: both operators are one scan; ``hash_sample`` is a pure filter
+(pushes nothing to the driver, no shuffle), ``stratified_take`` is one
+window shuffle on the strata key.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+#: 2^32 — md5's first 8 hex digits as an integer are uniform on [0, 2^32).
+_HASH_SPACE = float(1 << 32)
+
+
+def hash_uniform(key: Column) -> Column:
+    """Deterministic uniform [0,1) from a key column: first 8 hex digits
+    of md5(key-as-string).  Identical arithmetic is expressible in any
+    engine with md5 — the reproducibility contract of the sampler."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(_HASH_SPACE)
+    )
+
+
+def hash_sample(df: DataFrame, key: str, rate) -> DataFrame:
+    """Bernoulli sample at ``rate`` (a float or a per-row rate Column),
+    keyed by ``key`` — a pure filter: no shuffle, no driver involvement,
+    stable under repartitioning and re-execution."""
+    rate_col = rate if isinstance(rate, Column) else F.lit(float(rate))
+    return df.filter(hash_uniform(F.col(key)) < rate_col)
+
+
+def stratified_rates(df: DataFrame, key: str, strata: str, rates: Mapping[str, float],
+                     default: float = 0.0) -> DataFrame:
+    """Per-stratum Bernoulli rates ("the data-mix spec"): ``rates`` maps a
+    stratum value to its keep-probability."""
+    rate_col = F.lit(float(default))
+    for value, r in rates.items():
+        rate_col = F.when(F.col(strata) == value, float(r)).otherwise(rate_col)
+    return hash_sample(df, key, rate_col)
+
+
+def stratified_take(df: DataFrame, strata, k: int, key: str) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum (fewer if the stratum is smaller),
+    chosen by deterministic md5 rank — unbiased within each stratum and
+    reproducible everywhere.  One window shuffle on the strata columns."""
+    strata = [strata] if isinstance(strata, str) else list(strata)
+    w = W.partitionBy(*strata).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__")
+    )

@@ -116,6 +116,41 @@ _SIMHASH_SQL = f"""
 """
 
 
+# Cluster labeling over the simhash pair graph: the pipeline-level dedup
+# deliverable ("keep one canonical doc per cluster").  Pair enumeration is
+# O(k²) per duplicate cluster (one ~580-doc cluster at sf0.1 = ~166k pairs);
+# components are O(k) — the only shape that survives 100 TB.  Oracle =
+# recursive-CTE reachability over the same pair SQL.
+_SIMHASH_CC_SQL = f"""
+    WITH RECURSIVE pairs AS ({{simhash}}),
+    edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    labels AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+    SELECT component, COUNT(*) AS n_members
+    FROM labels GROUP BY component
+""".format(simhash=_SIMHASH_SQL)
+
+
+@register("dedup_simhash_components", _SIMHASH_CC_SQL)
+def dedup_simhash_components(spark, sf_dir):
+    """Near-dup CLUSTERS from the simhash pair graph via distributed
+    min-label propagation (``operators/graph.py``) — the scalable
+    alternative to pair enumeration for large duplicate clusters."""
+    from ..operators.graph import connected_components
+
+    pairs = dedup_simhash(spark, sf_dir)
+    labels = connected_components(pairs, src="id1", dst="id2")
+    return labels.groupBy(F.col("comp").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
 @register("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs: banding for candidates, Hamming verify.

@@ -147,3 +147,77 @@ def merge_indicator_customer_orders(spark, sf_dir):
             F.countDistinct("c_custkey").alias("n_keys"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic data-mix sampling (operators/sampling.py): hash-Bernoulli
+# per-source rates and exact per-stratum take — the curation ops a
+# training-data pipeline runs before tokenization.  Reproducible by
+# construction: membership is md5(doc_id) arithmetic both engines share.
+# --------------------------------------------------------------------------
+_U8_SQL = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ") / 4294967296.0"
+)
+
+
+@register(
+    "stratified_sample_documents",
+    f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             {_U8_SQL} AS u,
+             CASE CAST(substr(source, 4) AS INT) % 4
+                  WHEN 0 THEN 0.1 WHEN 1 THEN 0.25
+                  WHEN 2 THEN 0.5 ELSE 0.75 END AS rate
+      FROM documents
+    )
+    SELECT doc_id, source, u FROM rated WHERE u < rate
+    """,
+)
+def stratified_sample_documents(spark, sf_dir):
+    """Per-source Bernoulli rates (a data-mix spec) applied by
+    deterministic md5 hashing — a pure filter, no shuffle, stable under
+    any partitioning (``operators/sampling.py::hash_sample``)."""
+    from ..operators.sampling import hash_uniform
+
+    d = load_table(spark, sf_dir, "documents")
+    digit = F.substring("source", 4, 10).cast("int") % 4
+    rate = (
+        F.when(digit == 0, 0.1)
+        .when(digit == 1, 0.25)
+        .when(digit == 2, 0.5)
+        .otherwise(0.75)
+    )
+    u = hash_uniform(F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", u.alias("u"), rate.alias("__rate__"))
+        .filter(F.col("u") < F.col("__rate__"))
+        .drop("__rate__")
+    )
+
+
+@register(
+    "stratified_take_documents",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    """,
+)
+def stratified_take_documents(spark, sf_dir):
+    """Exactly 5 docs per source by md5 rank — exact stratum sizes,
+    unbiased within stratum, reproducible everywhere
+    (``operators/sampling.py::stratified_take``)."""
+    from ..operators.sampling import stratified_take
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_take(d, "source", k=5, key="doc_id")

@@ -116,3 +116,51 @@ def test_embedding_dedup_bucket_fanout_bounded(spark):
     assert max_default <= _BUCKET_CAP
     n_bands_rows = e.count() * 8
     assert default.count() == n_bands_rows  # nothing dropped at test scale
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation with path halving: chains (worst case for
+    plain propagation) and cliques both converge; labels = min reachable
+    id; isolated pairs stay separate."""
+    from dask_expr_rapids_spark.operators.graph import (
+        component_summary,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long",
+    )
+    labels = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    summary = {r["comp"]: (r["n_members"], r["canonical"])
+               for r in component_summary(connected_components(edges)).collect()}
+    assert summary == {1: (5, 1), 10: (2, 10), 20: (3, 20)}
+
+
+def test_hash_sample_deterministic_under_repartition(spark):
+    """Membership is a pure function of the key: any partitioning of the
+    same rows yields the SAME sample — the reproducibility contract
+    df.sample (per-partition seeded) cannot give."""
+    from dask_expr_rapids_spark.operators.sampling import hash_sample
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in hash_sample(df, "k", 0.3).collect()}
+    s2 = {r["k"] for r in hash_sample(df.repartition(17), "k", 0.3).collect()}
+    assert s1 == s2
+    assert 0.25 < len(s1) / 2000 < 0.35  # Bernoulli(0.3) within tolerance
+
+
+def test_stratified_take_exact_counts(spark):
+    from pyspark.sql import functions as F
+
+    from dask_expr_rapids_spark.operators.sampling import stratified_take
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    took = stratified_take(d, "source", k=5, key="doc_id")
+    counts = took.groupBy("source").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+    # deterministic: same selection on re-run
+    a = {r["doc_id"] for r in took.collect()}
+    b = {r["doc_id"] for r in stratified_take(d.repartition(7), "source", k=5, key="doc_id").collect()}
+    assert a == b
