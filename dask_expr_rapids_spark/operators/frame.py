@@ -1073,6 +1073,11 @@ class SparkFrame:
                 else self._sdf.repartitionByRange(bucket)
             )
             return SparkFrame(sdf)
+        if npartitions is None:
+            raise ValueError(
+                "repartition() requires npartitions and/or freq "
+                "(reference Repartition takes an explicit target)"
+            )
         return SparkFrame(self._sdf.repartition(npartitions))
 
     def coalesce(self, npartitions: int) -> "SparkFrame":
@@ -1176,36 +1181,41 @@ class SparkFrame:
         return F.filter(arr, lambda x: x.isNotNull()) if skipna else arr
 
     def _axis1(self, axis) -> bool:
+        # Default is pandas' axis=0, which we deliberately do NOT implement
+        # at frame level — raising here is a LOUD divergence so ported
+        # ``df.sum()`` code never silently receives row-wise sums
+        # (per-column reductions are the Series API: ``df['x'].sum()``).
         if axis in (1, "columns"):
             return True
         raise NotImplementedError(
             "axis=0 frame reductions: use the Series API per column "
-            "(reference semantics covered by Series.sum/mean/...)"
+            "(reference semantics covered by Series.sum/mean/...); "
+            "pass axis=1 explicitly for row-wise reductions"
         )
 
-    def sum(self, axis=1) -> Series:
+    def sum(self, axis=0) -> Series:
         self._axis1(axis)
         arr = self._row_values()
         return Series(
             self, F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), "sum"
         )
 
-    def mean(self, axis=1) -> Series:
+    def mean(self, axis=0) -> Series:
         self._axis1(axis)
         arr = self._row_values()
         n = F.size(arr)
         total = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
         return Series(self, F.when(n > 0, total / n), "mean")
 
-    def min(self, axis=1) -> Series:
+    def min(self, axis=0) -> Series:
         self._axis1(axis)
         return Series(self, F.array_min(self._row_values()), "min")
 
-    def max(self, axis=1) -> Series:
+    def max(self, axis=0) -> Series:
         self._axis1(axis)
         return Series(self, F.array_max(self._row_values()), "max")
 
-    def var(self, axis=1, ddof: int = 1) -> Series:
+    def var(self, axis=0, ddof: int = 1) -> Series:
         """Reference ``VarColumns`` (row-wise variance)."""
         self._axis1(axis)
         arr = self._row_values()
@@ -1215,7 +1225,7 @@ class SparkFrame:
         var = (s2 - s1 * s1 / n) / (n - ddof)
         return Series(self, F.when(n > ddof, var), "var")
 
-    def std(self, axis=1, ddof: int = 1) -> Series:
+    def std(self, axis=0, ddof: int = 1) -> Series:
         self._axis1(axis)
         return Series(self, F.sqrt(self.var(axis, ddof)._expr), "std")
 
@@ -1324,30 +1334,47 @@ class SparkFrame:
         from the output (same-length contract, like the reference's
         ``MapOverlap`` trim ``_expr.py:649-672``).
 
-        The global ``row_number`` ordering step is a range shuffle (same
-        cost class as any global sort); each row is duplicated into at most
-        3 buckets — at 100 TB keep ``before``/``after`` ≪ ``bucket_size``.
+        Scale shape: NO global ordering step.  The frame is range-
+        partitioned by the index (a distributed sample-based shuffle, the
+        same cost class as ``orderBy``), positions are computed per
+        partition, and only the ``before``/``after`` boundary rows are
+        duplicated to the neighboring bucket — each row lands in ≤ 3
+        buckets, every window in the plan is partitioned.  Keep
+        ``before``/``after`` ≪ ``bucket_size``.
         """
-        pos = F.row_number().over(W.orderBy(INDEX)) - 1
-        base = self._sdf.withColumn("__pos__", pos)
-        bucket = (F.col("__pos__") / bucket_size).cast("long")
-        off_prev = ((F.col("__pos__") % bucket_size) < after)
-        off_next = ((F.col("__pos__") % bucket_size) >= bucket_size - before)
+        n_rows = self._sdf.count()
+        n_buckets = max(1, -(-n_rows // bucket_size))
+        # localCheckpoint pins both the sampled range boundaries and
+        # spark_partition_id, which are otherwise not retry-deterministic
+        d = (
+            self._sdf.repartitionByRange(n_buckets, F.col(INDEX))
+            .sortWithinPartitions(INDEX)
+            .withColumn("__pid__", F.spark_partition_id().cast("long"))
+            .localCheckpoint()
+        )
+        w = W.partitionBy("__pid__").orderBy(INDEX)
+        base = d.withColumn("__lpos__", F.row_number().over(w) - 1).withColumn(
+            "__cnt__", F.count(F.lit(1)).over(W.partitionBy("__pid__"))
+        )
+        pid = F.col("__pid__")
         targets = F.array_compact(
             F.array(
-                bucket,
-                F.when(off_prev & (bucket > 0), bucket - 1),
-                F.when(off_next, bucket + 1),
+                pid,
+                F.when((F.col("__lpos__") < after) & (pid > 0), pid - 1),
+                F.when(
+                    (F.col("__lpos__") >= F.col("__cnt__") - before)
+                    & (pid < n_buckets - 1),
+                    pid + 1,
+                ),
             )
         )
-        exploded = base.withColumn("__bucket__", F.explode(targets)).withColumn(
-            "__own__", F.col("__bucket__") == bucket
-        )
+        exploded = base.withColumn("__bucket__", F.explode(targets)).drop("__cnt__")
 
         def _apply(key, pdf: pd.DataFrame):
-            pdf = pdf.sort_values("__pos__")
-            own = pdf["__own__"].to_numpy()
-            out = fn(pdf.drop(columns=["__bucket__", "__own__", "__pos__"]))
+            # global order == (range-partition id, position within it)
+            pdf = pdf.sort_values(["__pid__", "__lpos__"])
+            own = (pdf["__bucket__"] == pdf["__pid__"]).to_numpy()
+            out = fn(pdf.drop(columns=["__bucket__", "__pid__", "__lpos__"]))
             return out[own]
 
         result = exploded.groupBy("__bucket__").applyInPandas(_apply, schema)

@@ -48,34 +48,48 @@ def connected_components(
     half = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
+    # The iteration state is tiny relative to the input (nodes-in-clusters,
+    # not corpus rows): pin the loop's inputs to a low partition count so
+    # per-round cost is data, not task-scheduling overhead.  Deliberately
+    # NOT a session-conf toggle (spark.sql.shuffle.partitions is session-
+    # global — mutating it would silently re-plan any concurrent query on a
+    # shared session); the per-DataFrame repartition below (checkpointed, so
+    # it happens once) plus AQE's coalescePartitions keep each round's
+    # exchanges small.
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    spark = edges.sparkSession
+    loop_parts = min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
     # materialize the (possibly expensive) edge producer ONCE — every
     # iteration joins against it, and without this the upstream pipeline
     # (e.g. a full LSH dedup query) would replay per round
-    sym = half.union(
-        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    sym = (
+        half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(loop_parts, "b")
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
+        .repartition(loop_parts, "node")
         .localCheckpoint()
     )
-    # The iteration state is tiny relative to the input (nodes-in-clusters,
-    # not corpus rows): run the loop at a low shuffle fan-out so per-round
-    # cost is data, not task-scheduling overhead.  At true scale pass the
-    # session default back via this conf before calling.
-    spark = edges.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = min(int(prev_parts), 8)
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        labels = _propagate(sym, labels, max_iter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    labels, changed = _propagate(sym, labels, max_iter)
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing): returning partial "
+            "labels would yield wrong duplicate clusters.  Raise max_iter — "
+            "path-halving converges in O(log diameter) rounds."
+        )
     return labels
 
 
-def _propagate(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
+def _propagate(
+    sym: DataFrame, labels: DataFrame, max_iter: int
+) -> tuple[DataFrame, int]:
+    changed = 0
     for _ in range(max_iter):
         nb_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -114,7 +128,7 @@ def _propagate(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
         labels = step.select("node", "comp")
         if changed == 0:
             break
-    return labels
+    return labels, changed
 
 
 def component_summary(labels: DataFrame) -> DataFrame:

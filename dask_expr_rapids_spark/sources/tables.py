@@ -124,22 +124,49 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if not files:
         return df  # non-file sources (range, in-memory) are already spread
     mpb_raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    digits = "".join(ch for ch in str(mpb_raw) if ch.isdigit())
-    mpb = int(digits) if digits else 134217728
-    if "mb" in str(mpb_raw).lower():
-        mpb *= 1 << 20
+    mpb = _parse_bytes(str(mpb_raw))
     total = 0
     for f in files:
         from urllib.parse import urlparse, unquote
 
-        p = unquote(urlparse(f).path) or f
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            # remote filesystems (hdfs/s3/...) — no driver-side stat; fall
+            # back to the physical partition count, which is exact
+            total = None
+            break
+        p = unquote(parsed.path) or f
         try:
             total += os.path.getsize(p)
         except OSError:
             total = None
             break
-    est = max(1, -(-total // mpb)) if total is not None else len(files)
+    if total is not None:
+        est = max(1, -(-total // mpb))
+    else:
+        est = df.rdd.getNumPartitions()
     return df.repartition(n) if est < n else df
+
+
+def _parse_bytes(raw: str) -> int:
+    """Parse a JVM byte-size conf value (``134217728``, ``128m``, ``1g``,
+    ``256k``, ``512mb`` ...) into bytes.  Bare digits are bytes, matching
+    Spark's ``JavaUtils.byteStringAsBytes``."""
+    s = raw.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    num = s
+    mult = 1
+    for suffix in sorted(
+        [u + "b" for u in units] + list(units) + ["b"], key=len, reverse=True
+    ):
+        if s.endswith(suffix):
+            num = s[: -len(suffix)].strip()
+            mult = units.get(suffix[0], 1)
+            break
+    try:
+        return max(1, int(float(num) * mult))
+    except ValueError:
+        return 134217728
 
 
 def timeseries(

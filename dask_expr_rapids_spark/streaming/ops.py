@@ -177,19 +177,21 @@ def run_available_now(stream_df: DataFrame, sink_table: str, output_mode: str = 
 def run_available_now_to_files(
     stream_df: DataFrame,
     out_dir: str,
-    output_mode: str = "update",
+    output_mode: str = "complete",
     checkpoint: str | None = None,
 ) -> DataFrame:
     """Backfill drain to a parquet directory: every micro-batch is written
     by the EXECUTORS via ``foreachBatch`` — nothing accumulates on the
     driver, unlike the memory sink.
 
-    ``availableNow`` with no file-rate cap processes all available input in
-    ONE batch, so overwrite-per-batch is exactly-once and the directory
-    holds the final state when the query terminates.  A continuous
-    production job would swap this for a kafka/delta sink with the same
-    plan; rate-capped multi-batch drains need a compacting sink keyed by
-    batch id instead of overwrite.
+    Multi-batch safety: ``availableNow`` splits into several micro-batches
+    whenever the reader caps file rate (``maxFilesPerTrigger``), so the
+    write strategy is chosen per output mode — ``complete`` overwrites
+    (idempotent: the last batch IS the final state, the default),
+    ``append`` appends (finalized rows are emitted exactly once), and
+    ``update`` refuses multi-batch runs loudly instead of silently
+    overwriting earlier updates.  A continuous production job would swap
+    this for a kafka/delta sink with the same plan.
 
     Returns a batch DataFrame over the sink directory.
     """
@@ -198,6 +200,17 @@ def run_available_now_to_files(
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         # a drained aggregate is small relative to its input — cap the file
         # fan-out so the sink isn't dominated by per-file open/commit cost
+        if output_mode == "append":
+            batch_df.coalesce(8).write.mode("append").parquet(out_dir)
+            return
+        if output_mode == "update" and batch_id > 0:
+            raise RuntimeError(
+                "run_available_now_to_files(output_mode='update') saw more "
+                "than one micro-batch (rate-capped reader?): per-batch "
+                "overwrite would drop earlier updates.  Use "
+                "output_mode='complete' or a compacting sink keyed by "
+                "batch_id."
+            )
         batch_df.coalesce(8).write.mode("overwrite").parquet(out_dir)
 
     q = (
