@@ -93,7 +93,9 @@ def stream_sessionize_users(spark, sf_dir):
     stream = _events_stream(spark, sf_dir)
     out_dir = tempfile.mkdtemp(prefix="spark_graft_sessions_")
     return run_available_now_to_files(
-        sessionize(stream, gap="30 minutes", watermark="2 hours"),
+        # bounded drain → small fixed state fan-out (8): state-store commit
+        # cost is per partition per batch and dominates at this result size
+        sessionize(stream, gap="30 minutes", watermark="2 hours", state_partitions=8),
         out_dir,
         output_mode="complete",
     )

@@ -117,19 +117,33 @@ def q04_order_priority(spark, sf_dir):
     """,
 )
 def q07_volume_shipping(spark, sf_dir):
+    # Scale shape: Catalyst cannot infer per-side IN filters from the
+    # cross-column disjunction, so apply them by hand — both nation dims
+    # are pre-filtered to the two named nations, and supplier/customer/
+    # orders shrink to ~2/25 of their rows BEFORE any lineitem shuffle.
+    # The disjunction then only has to reject the two same-nation pairs.
+    nations = ["NATION_3", "NATION_7"]
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(nations))
     n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    s2 = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c2 = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2")).select(
+        "c_custkey", "cust_nation"
+    )
+    # orders semi-shrinks through the filtered customers before the big
+    # orderkey exchange (AQE broadcasts c2 when it is small enough)
+    o2 = o.join(c2, F.col("c_custkey") == F.col("o_custkey")).select(
+        "o_orderkey", "cust_nation"
+    )
     joined = (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        l.join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o2, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(
             ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
             | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))

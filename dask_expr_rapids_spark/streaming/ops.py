@@ -97,13 +97,26 @@ def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "1 day") -
 
 
 def sessionize(
-    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Per-user session aggregation via native session windows (gap-merged
-    event-time windows; state evicted past the watermark)."""
+    event-time windows; state evicted past the watermark).
+
+    ``state_partitions`` pre-partitions by ``user_id``, which the session-
+    window aggregation accepts as its required clustering — so it also
+    fixes the stateful operator's partition count WITHOUT touching the
+    session-global ``spark.sql.shuffle.partitions``.  Set it small for
+    bounded drains (state-store commit cost is per partition per batch);
+    leave ``None`` on large continuous jobs so the shuffle default governs.
+    """
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
+    if state_partitions:
+        src = src.repartition(state_partitions, "user_id")
     return (
         src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
         .agg(
@@ -195,7 +208,13 @@ def run_available_now_to_files(
 
     Returns a batch DataFrame over the sink directory.
     """
+    import os
     import tempfile
+
+    # an availableNow drain's checkpoint is scratch state (the query ends
+    # when the drain ends — nothing resumes from it), so prefer tmpfs over
+    # disk; a resumable production job passes a durable `checkpoint=`
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         # a drained aggregate is small relative to its input — cap the file
@@ -219,7 +238,7 @@ def run_available_now_to_files(
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            checkpoint or tempfile.mkdtemp(prefix="spark_graft_ckpt_"),
+            checkpoint or tempfile.mkdtemp(prefix="spark_graft_ckpt_", dir=scratch),
         )
         .start()
     )
