@@ -331,16 +331,32 @@ class Series:
     def median(self):
         return self.quantile(0.5)
 
-    def mode(self):
-        sdf = self._frame._sdf.select(self._expr.alias("v"))
-        row = (
-            sdf.groupBy("v")
-            .count()
-            .orderBy(F.desc("count"), F.asc("v"))
-            .limit(1)
-            .collect()
+    def mode(self, first: bool = False):
+        """All tied most-frequent values, ascending (pandas semantics;
+        reference ``_reductions.py:994-1025`` keeps every tie).  With
+        ``first=True`` returns the single smallest mode as a scalar — the
+        pre-round-3 tie-break behavior.
+
+        Scale shape: one hash aggregate over the values, a driver scalar
+        for the max count (consistent with the eager-scalar design), then
+        a filter over the distinct-value counts.  No global window."""
+        sdf = self._frame._sdf.select(self._expr.alias("v")).filter(
+            self._expr.isNotNull()
         )
-        return row[0][0] if row else None
+        counts = sdf.groupBy("v").agg(F.count(F.lit(1)).alias("__c__"))
+        if first:
+            row = counts.orderBy(F.desc("__c__"), F.asc("v")).limit(1).collect()
+            return row[0][0] if row else None
+        mx = counts.agg(F.max("__c__")).collect()[0][0]
+        if mx is None:
+            return []
+        return [
+            r[0]
+            for r in counts.filter(F.col("__c__") == mx)
+            .select("v")
+            .orderBy("v")
+            .collect()
+        ]
 
     def idxmax(self):
         return self._frame._sdf.agg(F.max_by(F.col(INDEX), self._expr)).collect()[0][0]
@@ -361,7 +377,17 @@ class Series:
     def _ordered_window(self):
         return W.orderBy(INDEX)
 
-    def shift(self, periods: int = 1):
+    def shift(self, periods: int = 1, freq: str | None = None):
+        """Reference ``Shift`` / ``ShiftIndex`` (``_expr.py:2255-2315``):
+        with ``freq`` the datetime index moves by ``periods * freq`` and the
+        values stay put — a pure projection, no window, no shuffle."""
+        if freq is not None:
+            secs = _offset_seconds(freq) * periods
+            sdf = self._frame._sdf.select(
+                F.expr(f"timestampadd(SECOND, {secs}, `{INDEX}`)").alias(INDEX),
+                self._expr.alias(self.name),
+            )
+            return SparkFrame(sdf)[self.name]
         w = self._ordered_window()
         fn = F.lag(self._expr, periods) if periods >= 0 else F.lead(self._expr, -periods)
         return Series(self._frame, fn.over(w), self.name)
@@ -398,12 +424,17 @@ class Series:
         w = self._ordered_window().rowsBetween(W.unboundedPreceding, 0)
         return Series(self._frame, F.count(self._expr).over(w), self.name)
 
-    def ffill(self):
-        w = self._ordered_window().rowsBetween(W.unboundedPreceding, 0)
+    def ffill(self, limit: int | None = None):
+        """Forward fill; ``limit`` bounds the fill distance (reference
+        ``FillnaCheck``/ffill ``_expr.py:2207-2252``) — a bounded window
+        frame, so the per-row state stays O(limit)."""
+        lo = W.unboundedPreceding if limit is None else -limit
+        w = self._ordered_window().rowsBetween(lo, 0)
         return Series(self._frame, F.last(self._expr, ignorenulls=True).over(w), self.name)
 
-    def bfill(self):
-        w = self._ordered_window().rowsBetween(0, W.unboundedFollowing)
+    def bfill(self, limit: int | None = None):
+        hi = W.unboundedFollowing if limit is None else limit
+        w = self._ordered_window().rowsBetween(0, hi)
         return Series(self._frame, F.first(self._expr, ignorenulls=True).over(w), self.name)
 
     def map(self, mapping: Mapping, default=None) -> "Series":
@@ -439,7 +470,43 @@ class Series:
         return SparkFrame(sdf.orderBy(F.asc(self.name), F.asc(INDEX)).limit(n))
 
     def describe(self) -> pd.Series:
-        """Reference ``DescribeNumeric`` (``_describe.py:16-94``)."""
+        """Reference ``DescribeNumeric`` / ``DescribeNonNumeric``
+        (``_describe.py:16-94``): numeric columns get count/mean/std/
+        quantiles; strings get count/unique/top/freq; datetimes add
+        first/last.  One aggregate job either way."""
+        dt = (
+            self._frame._sdf.select(self._expr.alias("v"))
+            .schema[0]
+            .dataType.simpleString()
+        )
+        if dt == "string" or dt.startswith(("timestamp", "date")):
+            agg = self._frame._sdf.agg(
+                F.count(self._expr).alias("count"),
+                F.count_distinct(self._expr).alias("unique"),
+                # mode_v = smallest value with the max frequency (pandas
+                # surfaces one top; ties broken by value, like our mode)
+                F.min(self._expr).alias("_min"),
+                F.max(self._expr).alias("_max"),
+            ).collect()[0]
+            top_row = (
+                self._frame._sdf.filter(self._expr.isNotNull())
+                .groupBy(self._expr.alias("v"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"), F.asc("v"))
+                .limit(1)
+                .collect()
+            )
+            top, freq = (top_row[0]["v"], top_row[0]["c"]) if top_row else (None, None)
+            out = {
+                "count": agg["count"],
+                "unique": agg["unique"],
+                "top": top,
+                "freq": freq,
+            }
+            if dt.startswith(("timestamp", "date")):
+                out["first"] = agg["_min"]
+                out["last"] = agg["_max"]
+            return pd.Series(out, name=self.name)
         row = self._frame._sdf.agg(
             F.count(self._expr).alias("count"),
             F.avg(self._expr).alias("mean"),
@@ -705,6 +772,14 @@ class Resampler:
     def prod(self):
         """Per-bucket product (reference ``ResampleProd``, ``_resample.py``)."""
         return self._all("prod")
+
+    def size(self) -> "SparkFrame":
+        """Rows per bucket including nulls (reference ``ResampleSize``,
+        ``_resample.py:21-269``) — one hash aggregate."""
+        sdf = self._frame._sdf.groupBy(self._bucket().alias(INDEX)).agg(
+            F.count(F.lit(1)).alias("size")
+        )
+        return SparkFrame(sdf)
 
     def median(self):
         """Exact per-bucket median (reference ``ResampleMedian``)."""
@@ -1550,25 +1625,77 @@ class GroupBy:
         )
         return SparkFrame(sdf)
 
+    @staticmethod
+    def _compile_agg(col: str, fname) -> Column:
+        """One spec entry → a Spark aggregate Column.  String names map to
+        built-in JVM aggregates; Python callables compile to an Arrow-
+        batched grouped-agg pandas UDF (reference accepts arbitrary
+        callables via ``_normalize_spec``, ``_groupby.py:288-326``).
+        Callables receive the group's values as a ``pd.Series`` and must
+        return a scalar; the result column is ``double``."""
+        if callable(fname) and not isinstance(fname, str):
+            fn = fname
+
+            def _wrap(s: pd.Series) -> float:
+                return fn(s)
+
+            return F.pandas_udf(_wrap, "double")(F.col(col))
+        return _AGG_FNS[fname](col)
+
+    @staticmethod
+    def _spec_name(fname) -> str:
+        return fname if isinstance(fname, str) else getattr(fname, "__name__", "agg")
+
     def agg(self, spec) -> SparkFrame:
         """Dict/str/list agg spec compiler (reference ``_normalize_spec``,
-        ``_groupby.py:302-326``)."""
-        aggs: list[Column] = []
+        ``_groupby.py:302-326``); entries may be aggregate names or Python
+        callables (compiled to grouped-agg pandas UDFs).
+
+        Spark rejects mixing grouped-agg pandas UDFs with JVM aggregates in
+        one ``agg`` (INVALID_PANDAS_UDF_PLACEMENT), so a mixed spec runs as
+        two aggregates over the same grouping joined on the keys — both
+        sides share the group-key partitioning, so the join adds no extra
+        shuffle of the big table."""
         if isinstance(spec, str):
             return self._agg_all(spec)
-        if isinstance(spec, Mapping):
+        entries: list[tuple[str, Any, str]] = []  # (col, fn, alias)
+        if callable(spec):
+            cols = [c for c in self._frame.columns if c not in self._by and c != INDEX]
+            nm = self._spec_name(spec)
+            entries = [(c, spec, f"{c}_{nm}") for c in cols]
+        elif isinstance(spec, Mapping):
             for col, fns in spec.items():
+                single = isinstance(fns, str) or callable(fns)
                 for fname in _as_list(fns):
-                    alias = f"{col}_{fname}" if not isinstance(fns, str) else col
-                    aggs.append(_AGG_FNS[fname](col).alias(alias))
+                    alias = col if single else f"{col}_{self._spec_name(fname)}"
+                    entries.append((col, fname, alias))
         elif isinstance(spec, Sequence):
             cols = [c for c in self._frame.columns if c not in self._by]
             for fname in spec:
                 for col in cols:
-                    aggs.append(_AGG_FNS[fname](col).alias(f"{col}_{fname}"))
+                    entries.append((col, fname, f"{col}_{self._spec_name(fname)}"))
         else:
             raise TypeError(f"unsupported agg spec: {spec!r}")
-        sdf = self._grouped().agg(*aggs)
+        jvm = [e for e in entries if isinstance(e[1], str)]
+        udf = [e for e in entries if not isinstance(e[1], str)]
+        parts = []
+        if jvm:
+            parts.append(
+                self._grouped().agg(
+                    *[self._compile_agg(c, f).alias(a) for c, f, a in jvm]
+                )
+            )
+        if udf:
+            parts.append(
+                self._grouped().agg(
+                    *[self._compile_agg(c, f).alias(a) for c, f, a in udf]
+                )
+            )
+        sdf = parts[0]
+        if len(parts) == 2:
+            sdf = parts[0].join(parts[1], on=list(self._by), how="inner")
+        order = [a for _, _, a in entries]
+        sdf = sdf.select(*self._by, *order)
         sdf = sdf.withColumn(INDEX, F.col(self._by[0]))
         return SparkFrame(sdf)
 
@@ -1588,20 +1715,21 @@ class GroupBy:
         w = W.partitionBy(*self._by).orderBy(INDEX)
         return Series(self._frame, F.lag(F.col(col), periods).over(w), col)
 
-    def ffill(self, col: str) -> Series:
-        """Reference ``GroupByFFill`` (``_groupby.py:752-761``)."""
+    def ffill(self, col: str, limit: int | None = None) -> Series:
+        """Reference ``GroupByFFill`` (``_groupby.py:752-761``); ``limit``
+        bounds the fill distance within each group."""
         w = (
             W.partitionBy(*self._by)
             .orderBy(INDEX)
-            .rowsBetween(W.unboundedPreceding, 0)
+            .rowsBetween(W.unboundedPreceding if limit is None else -limit, 0)
         )
         return Series(self._frame, F.last(F.col(col), ignorenulls=True).over(w), col)
 
-    def bfill(self, col: str) -> Series:
+    def bfill(self, col: str, limit: int | None = None) -> Series:
         w = (
             W.partitionBy(*self._by)
             .orderBy(INDEX)
-            .rowsBetween(0, W.unboundedFollowing)
+            .rowsBetween(0, W.unboundedFollowing if limit is None else limit)
         )
         return Series(self._frame, F.first(F.col(col), ignorenulls=True).over(w), col)
 

@@ -123,26 +123,44 @@ def value_counts_event_type(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# mode (reference _reductions.py:994-1025): most frequent value, ties broken
-# deterministically by value.
+# mode (reference _reductions.py:994-1025): pandas keeps EVERY tied mode.
+# Per-type counts are capped at 200 via row_number so a genuine multi-way
+# tie exists at every SF (3-way at sf0.001, 5-way at sf0.01) — this
+# exercises the multi-value path, not just a degenerate single winner.
 # --------------------------------------------------------------------------
 @register(
     "mode_event_type",
     """
-    SELECT event_type AS mode_value FROM (
-      SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type
-    ) t
-    ORDER BY c DESC, event_type LIMIT 1
+    WITH capped AS (
+      SELECT event_type FROM (
+        SELECT event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id)
+                 AS rn
+        FROM events) t
+      WHERE rn <= 200
+    ), c AS (
+      SELECT event_type, COUNT(*) AS c FROM capped GROUP BY event_type
+    )
+    SELECT event_type AS mode_value FROM c
+    WHERE c = (SELECT MAX(c) FROM c)
+    ORDER BY mode_value
     """,
 )
 def mode_event_type(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.frame import SparkFrame
+
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), F.asc("event_type"))
-        .limit(1)
-        .select(F.col("event_type").alias("mode_value"))
+    w = W.partitionBy("event_type").orderBy("event_id")
+    capped = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 200)
+        .select("event_type")
+    )
+    modes = SparkFrame(capped)["event_type"].mode()  # all tied modes, asc
+    return spark.createDataFrame(
+        [(m,) for m in modes], "mode_value string"
     )
 
 

@@ -229,19 +229,61 @@ def monotonic_user_events(spark, sf_dir):
 # path end-to-end inside one oracle-checked query.
 # --------------------------------------------------------------------------
 # --------------------------------------------------------------------------
-# Synthetic timeseries source (reference Timeseries, datasets.py:13-241) —
-# rows-only check: the seeded JVM RNG is engine-specific, so no SQL twin.
+# Synthetic timeseries source (reference Timeseries, datasets.py:13-241).
+# Hash-derived generator (md5 of seed:row → exact dyadic uniforms), so the
+# oracle reproduces the stream bit-for-bit in DuckDB: x values are j/2^31
+# (31-bit mantissas), partial sums of 100k of them stay exact in a double,
+# so SUM(x)/COUNT(*) is order-independent and engine-independent.
 # --------------------------------------------------------------------------
-@register("timeseries_source_agg", None)
+def _ts_u32_sql(h_sql: str, slot: int) -> str:
+    """DuckDB arithmetic for Spark's conv(substr(md5,8*slot+1,8),16,10):
+    parse 8 hex chars into a 32-bit integer via strpos positions."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({h_sql}, {8 * slot + i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+def _ts_oracle_sql() -> str:
+    from ..sources.tables import TS_NAMES
+
+    names = "[" + ", ".join(f"'{n}'" for n in TS_NAMES) + "]"
+    ha = "md5(concat('42a:', CAST(i AS VARCHAR)))"
+    hb = "md5(concat('42b:', CAST(i AS VARCHAR)))"
+    u_name = f"({_ts_u32_sql(ha, 0)} / 4294967296.0)"
+    ih = (
+        f"(({_ts_u32_sql(ha, 1)} + {_ts_u32_sql(ha, 2)} + {_ts_u32_sql(ha, 3)}"
+        f" + {_ts_u32_sql(hb, 0)}) / 4294967296.0)"
+    )
+    return f"""
+    WITH ts AS (
+      SELECT {names}[CAST(FLOOR({u_name} * 26) AS INT) + 1] AS name,
+             ({_ts_u32_sql(hb, 1)} / 2147483648.0 - 1.0) AS x,
+             ({_ts_u32_sql(hb, 2)} / 2147483648.0 - 1.0) AS y
+      FROM range(100000) t(i)
+    )
+    SELECT name, COUNT(*) AS n,
+           SUM(x) / COUNT(*) AS avg_x,
+           MAX(y) AS max_y
+    FROM ts GROUP BY name
+    """
+
+
+@register("timeseries_source_agg", _ts_oracle_sql())
 def timeseries_source_agg(spark, sf_dir):
     """Generate 100k rows JVM-side, aggregate per name — exercises the
-    spark.range generator path end-to-end (deterministic per seed)."""
+    hash-derived generator path end-to-end, hash-verified vs DuckDB."""
     from ..sources.tables import timeseries
 
     ts = timeseries(spark, start="2024-01-01", n_rows=100_000, freq_seconds=1)
     return ts.groupBy("name").agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg("x").alias("avg_x"),
+        (F.sum("x") / F.count(F.lit(1))).alias("avg_x"),
         F.max("y").alias("max_y"),
     )
 

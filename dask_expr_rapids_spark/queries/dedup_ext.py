@@ -171,10 +171,12 @@ def dedup_simhash(spark, sf_dir):
     # significant first), so bit b of the oracle's digit arithmetic is
     # (h1 >> (31-b)) & 1 for b<32 and (h2 >> (63-b)) & 1 above — identical
     # bits at 1/8th the string work of per-digit conv() extraction.
-    halves = toks.select(
+    # hoist the md5 into its own column so the digest is computed once per
+    # token even if codegen's subexpression elimination doesn't fire
+    halves = toks.withColumn("__md5__", F.md5("tok")).select(
         "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("h2"),
+        F.conv(F.substring("__md5__", 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("__md5__", 9, 8), 16, 10).cast("long").alias("h2"),
     )
     votes = halves.groupBy("doc_id").agg(
         *[

@@ -81,7 +81,8 @@ def shift_diff_events(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# ffill (reference FFill _expr.py:2207-2252): last non-null carried forward.
+# ffill (reference FFill _expr.py:2207-2252): last non-null carried forward,
+# plus the limit= form (bounded fill distance, round-3 parity close).
 # Nulls are manufactured deterministically ('click' rows lose their value).
 # --------------------------------------------------------------------------
 @register(
@@ -89,21 +90,27 @@ def shift_diff_events(spark, sf_dir):
     """
     SELECT event_id, user_id,
            LAST_VALUE(CASE WHEN event_type = 'click' THEN NULL ELSE value END
-                      IGNORE NULLS) OVER w AS filled_value
+                      IGNORE NULLS) OVER w AS filled_value,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN NULL ELSE value END
+                      IGNORE NULLS) OVER w2 AS filled_value_limit2
     FROM events
     WHERE user_id < 50
     WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 )
 def ffill_user_value(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+    w2 = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
     gapped = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(F.col("value"))
     return e.select(
         "event_id",
         "user_id",
         F.last(gapped, ignorenulls=True).over(w).alias("filled_value"),
+        F.last(gapped, ignorenulls=True).over(w2).alias("filled_value_limit2"),
     )
 
 

@@ -169,6 +169,16 @@ def _parse_bytes(raw: str) -> int:
         return 134217728
 
 
+#: name vocabulary of the timeseries generator (reference dataset names,
+#: ``datasets.py``); module-level so the SQL oracle can embed the same list
+TS_NAMES = (
+    "Alice", "Bob", "Charlie", "Dan", "Edith", "Frank", "George",
+    "Hannah", "Ingrid", "Jerry", "Kevin", "Laura", "Michael", "Norbert",
+    "Oliver", "Patricia", "Quinn", "Ray", "Sarah", "Tim", "Ursula",
+    "Victor", "Wendy", "Xavier", "Yvonne", "Zelda",
+)
+
+
 def timeseries(
     spark: SparkSession,
     start: str = "2024-01-01",
@@ -180,24 +190,38 @@ def timeseries(
     ``dask_expr/datasets.py:13-241``): timestamp grid + name/id/x/y columns.
 
     Entirely JVM-side: ``spark.range`` scales to any row count across
-    executors; ``F.rand/randn(seed)`` are per-partition-seeded exactly like
-    the reference's per-partition RNG state (``datasets.py:160-170``).
+    executors.  All randomness is HASH-DERIVED (md5 of ``seed:row``), not
+    ``F.rand``: every value is a pure function of (seed, row number), so
+    the stream is bit-identical across partitionings, retries, cluster
+    sizes — and across ENGINES, which lets the DuckDB oracle reproduce it
+    exactly (the reference's per-partition RNG state,
+    ``datasets.py:160-170``, is deterministic only within one engine).
+
+    Determinism details: each md5 yields four independent 32-bit uniforms;
+    ``u = m/2^32`` and ``x = m/2^31 - 1`` are exact dyadic doubles, and the
+    id column is Irwin-Hall (sum of 4 uniforms ≈ normal, σ≈0.577) — sums of
+    dyadic rationals stay exact, so no cross-engine float drift.
     """
-    names = F.array(*[F.lit(n) for n in (
-        "Alice", "Bob", "Charlie", "Dan", "Edith", "Frank", "George",
-        "Hannah", "Ingrid", "Jerry", "Kevin", "Laura", "Michael", "Norbert",
-        "Oliver", "Patricia", "Quinn", "Ray", "Sarah", "Tim", "Ursula",
-        "Victor", "Wendy", "Xavier", "Yvonne", "Zelda",
-    )])
+    names = F.array(*[F.lit(n) for n in TS_NAMES])
+    ha = F.md5(F.concat(F.lit(f"{seed}a:"), F.col("id").cast("string")))
+    hb = F.md5(F.concat(F.lit(f"{seed}b:"), F.col("id").cast("string")))
+
+    def u32(h, slot: int):
+        return F.conv(F.substring(h, 1 + 8 * slot, 8), 16, 10).cast("double")
+
+    u_name = u32(ha, 0) / 4294967296.0
+    ih = (
+        u32(ha, 1) + u32(ha, 2) + u32(ha, 3) + u32(hb, 0)
+    ) / 4294967296.0  # Irwin-Hall sum in [0, 4)
     return (
         spark.range(n_rows)
         .select(
             F.timestamp_seconds(
                 F.unix_timestamp(F.lit(start).cast("timestamp")) + F.col("id") * freq_seconds
             ).alias("timestamp"),
-            names.getItem((F.rand(seed) * 26).cast("int")).alias("name"),
-            (F.round(F.randn(seed + 1) * 31.6) + 1000).cast("long").alias("id"),
-            (F.rand(seed + 2) * 2 - 1).alias("x"),
-            (F.rand(seed + 3) * 2 - 1).alias("y"),
+            F.element_at(names, (F.floor(u_name * 26) + 1).cast("int")).alias("name"),
+            (F.floor((ih - 2.0) * 54.7) + 1000).cast("long").alias("id"),
+            (u32(hb, 1) / 2147483648.0 - 1.0).alias("x"),
+            (u32(hb, 2) / 2147483648.0 - 1.0).alias("y"),
         )
     )

@@ -1,0 +1,162 @@
+"""sf1 scale rehearsal (VERDICT r2 'Next round' #8).
+
+The driver ships sf<=0.1; the 100 TB argument for the dedup/CC/ANN
+operators was extrapolated from sf0.1.  This script rehearses one order
+of magnitude up: it synthesizes sf1-scale documents (50k rows) and
+embeddings (20k rows) with the same schema/statistics as the driver
+tables (same vocabulary, length mix, language/source mix, cluster
+structure) PLUS injected exact/near duplicates so dedup does real work,
+then times the headline dedup/CC/ANN queries and writes BENCH_sf1.json.
+
+Generated data lives in /root/repo/.scratch/sf1 (gitignored — testdata
+is read-only and must not be touched).  Deterministic: numpy seed 1042.
+
+Run: python scripts/scale_rehearsal.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1")
+N_DOCS = 50_000
+N_VECS = 20_000
+SEED = 1042
+
+HEADLINE = [
+    "dedup_exact_clusters",
+    "dedup_exact_summary",
+    "dedup_neardup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_components",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_cosine_topk",
+    "ann_ivf_cosine_topk",
+    "embedding_centroids",
+]
+
+
+def make_documents(rng: np.random.Generator) -> None:
+    import duckdb
+
+    # empirical vocabulary + length mix from the driver's own sf0.1 table
+    rows = duckdb.sql(
+        f"SELECT text, lang, source FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchall()
+    vocab = sorted({w for t, _, _ in rows for w in t.split()})
+    lengths = [len(t.split()) for t, _, _ in rows]
+    langs = [r[1] for r in rows]
+    sources = [r[2] for r in rows]
+
+    texts: list[str] = []
+    for i in range(N_DOCS):
+        n = lengths[int(rng.integers(0, len(lengths)))]
+        words = rng.choice(vocab, size=n, replace=True)
+        texts.append(" ".join(words))
+    # inject duplicates: 4% exact copies, 4% near copies (1-2 word edits)
+    n_dup = N_DOCS // 25
+    for j in range(n_dup):
+        src_i = int(rng.integers(0, N_DOCS))
+        dst_i = int(rng.integers(0, N_DOCS))
+        texts[dst_i] = texts[src_i]
+    for j in range(n_dup):
+        src_i = int(rng.integers(0, N_DOCS))
+        dst_i = int(rng.integers(0, N_DOCS))
+        w = texts[src_i].split()
+        if len(w) > 3:
+            w[int(rng.integers(0, len(w)))] = str(rng.choice(vocab))
+        texts[dst_i] = " ".join(w)
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(N_DOCS), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([langs[int(rng.integers(0, len(langs)))] for _ in range(N_DOCS)], pa.string()),
+            "source": pa.array([sources[int(rng.integers(0, len(sources)))] for _ in range(N_DOCS)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(OUT, "documents.parquet"))
+
+
+def make_embeddings(rng: np.random.Generator) -> None:
+    dim, k = 64, 10
+    centers = rng.normal(size=(k, dim)).astype("float32") * 3.0
+    labels = rng.integers(0, k, size=N_VECS)
+    vecs = centers[labels] + rng.normal(size=(N_VECS, dim)).astype("float32")
+    # 3% near-duplicate vectors (tiny perturbation of another row)
+    n_dup = N_VECS * 3 // 100
+    src = rng.integers(0, N_VECS, size=n_dup)
+    dst = rng.integers(0, N_VECS, size=n_dup)
+    vecs[dst] = vecs[src] + rng.normal(scale=1e-3, size=(n_dup, dim)).astype("float32")
+    labels[dst] = labels[src]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(labels.tolist(), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(OUT, "embeddings.parquet"))
+
+
+def main() -> None:
+    if not (
+        os.path.exists(os.path.join(OUT, "documents.parquet"))
+        and os.path.exists(os.path.join(OUT, "embeddings.parquet"))
+    ):
+        os.makedirs(OUT, exist_ok=True)
+        rng = np.random.default_rng(SEED)
+        t0 = time.time()
+        make_documents(rng)
+        make_embeddings(rng)
+        print(f"generated sf1 data in {time.time() - t0:.1f}s -> {OUT}")
+
+    from dask_expr_rapids_spark.queries import queries
+    from dask_expr_rapids_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    qs = queries()
+    results: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = qs[name](spark, OUT).count()
+            times.append(time.perf_counter() - t0)
+        results[name] = round(statistics.median(times), 3)
+        rows[name] = n
+        print(f"{name}: {results[name]:.2f}s median, {n} rows", flush=True)
+    out = {
+        "metric": "sf1_headline_total",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "rows": rows,
+        "sf": 1,
+        "n_docs": N_DOCS,
+        "n_vecs": N_VECS,
+    }
+    path = os.path.join(os.path.dirname(OUT), "..", "BENCH_sf1.json")
+    with open(os.path.abspath(path), "w") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

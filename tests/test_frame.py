@@ -94,7 +94,8 @@ def test_scalar_reductions(sf, pdf):
 def test_quantile_median_mode_idx(sf, pdf):
     assert sf["x"].quantile(0.5) == pytest.approx(pdf.x.quantile(0.5))
     assert sf["x"].median() == pytest.approx(pdf.x.median())
-    assert sf["y"].mode() == pdf.y.mode().iloc[0]
+    assert sf["y"].mode() == list(pdf.y.mode())
+    assert sf["y"].mode(first=True) == pdf.y.mode().iloc[0]
     assert sf["z"].idxmax() == pdf.z.idxmax()
     assert sf["z"].idxmin() == pdf.z.idxmin()
 

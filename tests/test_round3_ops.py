@@ -124,3 +124,132 @@ def test_map_overlap_multipartition_plan(spark):
     got = res.to_pandas().sort_index()
     want = pd.DataFrame({"v": p.v.rolling(5, center=True, min_periods=1).mean()})
     pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+# -- pandas-semantics partials closed in round 3 ---------------------------
+# ffill/bfill limit=, multi-value mode, callable agg specs, non-numeric
+# describe, shift(freq=), Resampler.size — all differential vs pandas
+# (reference methodology, SURVEY.md §5.1).
+
+
+@pytest.fixture(scope="module")
+def gap_pdf():
+    return pd.DataFrame(
+        {
+            "g": [1, 1, 1, 1, 1, 2, 2, 2, 2, 2],
+            "v": [1.0, None, None, None, 5.0, None, 7.0, None, None, None],
+        }
+    )
+
+
+def _eq_series(sp_result, pd_result):
+    got = sp_result.to_pandas()
+    pdt.assert_series_equal(got, pd_result, check_dtype=False, check_names=False)
+
+
+@pytest.mark.parametrize("limit", [1, 2, None])
+def test_ffill_bfill_limit(spark, gap_pdf, limit):
+    f = SparkFrame.from_pandas(spark, gap_pdf, npartitions=3)
+    _eq_series(f["v"].ffill(limit=limit), gap_pdf.v.ffill(limit=limit))
+    _eq_series(f["v"].bfill(limit=limit), gap_pdf.v.bfill(limit=limit))
+
+
+@pytest.mark.parametrize("limit", [1, None])
+def test_groupby_ffill_bfill_limit(spark, gap_pdf, limit):
+    f = SparkFrame.from_pandas(spark, gap_pdf, npartitions=3)
+    _eq_series(
+        f.groupby("g").ffill("v", limit=limit),
+        gap_pdf.groupby("g").v.ffill(limit=limit),
+    )
+    _eq_series(
+        f.groupby("g").bfill("v", limit=limit),
+        gap_pdf.groupby("g").v.bfill(limit=limit),
+    )
+
+
+def test_mode_multi_value(spark):
+    p = pd.DataFrame({"v": [3, 1, 1, 3, 2, None]})
+    f = SparkFrame.from_pandas(spark, p)
+    assert f["v"].mode() == list(p.v.mode())  # tie -> [1.0, 3.0]
+    assert f["v"].mode(first=True) == 1.0
+    single = pd.DataFrame({"v": [5, 5, 7]})
+    fs = SparkFrame.from_pandas(spark, single)
+    assert fs["v"].mode() == [5]
+
+
+def test_groupby_agg_callable_specs(spark, gap_pdf):
+    f = SparkFrame.from_pandas(spark, gap_pdf, npartitions=3)
+
+    def val_range(s: pd.Series) -> float:
+        return float(s.max() - s.min())
+
+    got = (
+        f.groupby("g")
+        .agg({"v": ["sum", val_range]})
+        .to_pandas()
+        .sort_index()[["v_sum", "v_val_range"]]
+    )
+    want = (
+        gap_pdf.groupby("g")
+        .v.agg(["sum", val_range])
+        .rename(columns={"sum": "v_sum", "val_range": "v_val_range"})
+    )
+    want.index.name = None
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+
+    # bare callable spec applies to every non-key column
+    got2 = f.groupby("g").agg(val_range).to_pandas().sort_index()
+    assert list(got2["v_val_range"]) == list(want["v_val_range"])
+
+
+def test_describe_string(spark):
+    p = pd.DataFrame({"s": ["b", "a", "b", None, "c", "b"]})
+    f = SparkFrame.from_pandas(spark, p)
+    got = f["s"].describe()
+    want = p.s.describe()
+    assert got["count"] == want["count"]
+    assert got["unique"] == want["unique"]
+    assert got["top"] == want["top"]
+    assert got["freq"] == want["freq"]
+
+
+def test_describe_datetime(spark):
+    ts = pd.to_datetime(
+        ["2024-01-02", "2024-01-01", "2024-01-02", "2024-03-05"]
+    )
+    p = pd.DataFrame({"t": ts})
+    f = SparkFrame.from_pandas(spark, p)
+    got = f["t"].describe()
+    assert got["count"] == 4
+    assert got["unique"] == 3
+    assert pd.Timestamp(got["top"]) == pd.Timestamp("2024-01-02")
+    assert got["freq"] == 2
+    assert pd.Timestamp(got["first"]) == ts.min()
+    assert pd.Timestamp(got["last"]) == ts.max()
+
+
+def test_shift_freq(spark):
+    idx = pd.date_range("2024-01-01", periods=6, freq="1h")
+    p = pd.DataFrame({"v": np.arange(6, dtype="float64")}, index=idx)
+    f = SparkFrame.from_pandas(spark, p, npartitions=2)
+    got = f["v"].shift(2, freq="1h").to_pandas()
+    want = p.v.shift(2, freq="1h")
+    pdt.assert_series_equal(got, want, check_dtype=False, check_names=False, check_freq=False)
+    got_neg = f["v"].shift(-3, freq="30min").to_pandas()
+    want_neg = p.v.shift(-3, freq="30min")
+    pdt.assert_series_equal(got_neg, want_neg, check_dtype=False, check_names=False, check_freq=False)
+
+
+def test_resample_size(spark):
+    idx = pd.to_datetime(
+        ["2024-01-01 00:05", "2024-01-01 00:40", "2024-01-01 01:10",
+         "2024-01-01 01:20", "2024-01-01 03:59"]
+    )
+    p = pd.DataFrame({"v": [1.0, None, 3.0, None, 5.0]}, index=idx)
+    f = SparkFrame.from_pandas(spark, p, npartitions=2)
+    got = (
+        f.resample("1h").size().to_pandas().sort_index()["size"]
+    )
+    want = p.resample("1h").size()
+    want = want[want > 0]  # Spark emits only non-empty buckets
+    pdt.assert_series_equal(got, want, check_dtype=False, check_names=False, check_freq=False)
