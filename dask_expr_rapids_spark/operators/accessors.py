@@ -18,6 +18,10 @@ import string as _string
 
 from pyspark.sql import functions as F
 
+
+def _as_seq(x) -> list:
+    return list(x) if isinstance(x, (list, tuple, set)) else [x]
+
 _MAXLEN = 2_147_483_647
 
 
@@ -550,10 +554,18 @@ class CategoricalMethods:
     def __init__(self, series):
         self._s = series
 
+    # -- known/unknown state machine (reference _categorical.py:55-76) -----
+    # The category dictionary is cached on the Series (``_cat_known``);
+    # ``as_known`` computes it once (one distinct job) and every later
+    # ``categories``/``codes`` access reuses it without re-scanning.
+
     @property
-    def categories(self) -> list:
-        """Distinct values, sorted — the reference's ``as_known`` eager
-        uniques computation (``_categorical.py:55-76``)."""
+    def known(self) -> bool:
+        """True when the category dictionary has been computed and cached
+        (reference ``known`` property)."""
+        return getattr(self._s, "_cat_known", None) is not None
+
+    def _compute_categories(self) -> list:
         rows = (
             self._s._frame._sdf.select(self._s._expr.alias("v"))
             .distinct()
@@ -562,14 +574,50 @@ class CategoricalMethods:
         )
         return [r["v"] for r in rows if r["v"] is not None]
 
+    @property
+    def categories(self) -> list:
+        """The cached dictionary when known, else the reference's
+        ``as_known`` eager uniques computation (``_categorical.py:55-76``)."""
+        cached = getattr(self._s, "_cat_known", None)
+        return list(cached) if cached is not None else self._compute_categories()
+
     def as_known(self):
-        """No-op state transition in this engine (categories are always
-        computable); returns self for API compatibility."""
-        return self
+        """Compute and attach the category dictionary (reference
+        ``as_known``): one distinct+sort job; subsequent ``categories`` /
+        ``codes`` reuse it for free."""
+        from .frame import Series
+
+        out = Series(self._s._frame, self._s._expr, self._s.name)
+        out._cat_known = self._compute_categories()
+        return out
+
+    def as_unknown(self):
+        """Drop the cached dictionary (reference ``as_unknown``)."""
+        from .frame import Series
+
+        return Series(self._s._frame, self._s._expr, self._s.name)
+
+    def set_categories(self, categories) -> "object":
+        """Attach an explicit dictionary without a scan (reference
+        ``set_categories``): values outside it code to −1, like pandas."""
+        from .frame import Series
+
+        out = Series(self._s._frame, self._s._expr, self._s.name)
+        out._cat_known = list(categories)
+        return out
+
+    def add_categories(self, new) -> "object":
+        cats = self.categories + [c for c in _as_seq(new) if c not in self.categories]
+        return self.set_categories(cats)
+
+    def remove_categories(self, drop) -> "object":
+        drop_set = set(_as_seq(drop))
+        return self.set_categories([c for c in self.categories if c not in drop_set])
 
     @property
     def codes(self):
-        """Category index per row (−1 for null, like pandas)."""
+        """Category index per row (−1 for null / out-of-dictionary, like
+        pandas).  Uses the cached dictionary when known — no extra scan."""
         from .frame import Series
 
         cats = self.categories

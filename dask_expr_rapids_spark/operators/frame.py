@@ -60,11 +60,37 @@ def _as_list(x) -> list:
     return [x]
 
 
+class LazyScalar:
+    """Unevaluated scalar reduction (reference ``Scalar``,
+    ``_collection.py:1850``): instead of collecting eagerly, the 1×1
+    aggregate composes into the consuming plan as a broadcast cross join —
+    ``df[df.x > df.x.mean(lazy=True)]`` is ONE Spark job (scan feeds both
+    the aggregate and the filter; Catalyst reuses the exchange), where the
+    eager form runs two.  ``compute()``/``float()`` force the value."""
+
+    _seq = 0
+
+    def __init__(self, frame: "SparkFrame", agg: Column):
+        LazyScalar._seq += 1
+        self._name = f"__lazy{LazyScalar._seq}__"
+        self._agg_sdf = frame._sdf.agg(agg.alias(self._name))
+
+    def compute(self):
+        return self._agg_sdf.collect()[0][0]
+
+    def __float__(self) -> float:
+        return float(self.compute())
+
+    def __repr__(self) -> str:
+        return f"<LazyScalar {self._name} (uncomputed)>"
+
+
 class Series:
     """A named column expression bound to a parent frame (reference
     ``Series``, ``_collection.py:1529``).  Elementwise ops build Column
     expressions; reductions trigger a job and return a driver scalar
-    (reference ``Scalar``, ``_collection.py:1850``)."""
+    (reference ``Scalar``, ``_collection.py:1850``), or a composable
+    ``LazyScalar`` with ``lazy=True``."""
 
     def __init__(self, frame: "SparkFrame", expr: Column, name: str):
         self._frame = frame
@@ -74,6 +100,15 @@ class Series:
     # -- elementwise arithmetic / comparison / logic (reference
     # _expr.py:1746-1876) --------------------------------------------------
     def _bin(self, other, op, name=None) -> "Series":
+        if isinstance(other, LazyScalar):
+            # graft the 1-row aggregate onto the plan: broadcast cross join,
+            # then operate against the joined scalar column — no collect
+            joined = SparkFrame(
+                self._frame._sdf.crossJoin(F.broadcast(other._agg_sdf))
+            )
+            return Series(
+                joined, op(self._expr, F.col(other._name)), name or self.name
+            )
         rhs = other._expr if isinstance(other, Series) else F.lit(other)
         return Series(self._frame, op(self._expr, rhs), name or self.name)
 
@@ -249,23 +284,25 @@ class Series:
         return CategoricalMethods(self)
 
     # -- reductions → driver scalar (reference _reductions.py) -------------
-    def _reduce(self, agg: Column):
+    def _reduce(self, agg: Column, lazy: bool = False):
+        if lazy:
+            return LazyScalar(self._frame, agg)
         return self._frame._sdf.agg(agg).collect()[0][0]
 
-    def sum(self):
-        return self._reduce(F.sum(self._expr))
+    def sum(self, lazy: bool = False):
+        return self._reduce(F.sum(self._expr), lazy)
 
-    def mean(self):
-        return self._reduce(F.avg(self._expr))
+    def mean(self, lazy: bool = False):
+        return self._reduce(F.avg(self._expr), lazy)
 
-    def min(self):
-        return self._reduce(F.min(self._expr))
+    def min(self, lazy: bool = False):
+        return self._reduce(F.min(self._expr), lazy)
 
-    def max(self):
-        return self._reduce(F.max(self._expr))
+    def max(self, lazy: bool = False):
+        return self._reduce(F.max(self._expr), lazy)
 
-    def count(self):
-        return self._reduce(F.count(self._expr))
+    def count(self, lazy: bool = False):
+        return self._reduce(F.count(self._expr), lazy)
 
     def nunique(self):
         return self._reduce(F.countDistinct(self._expr))
@@ -597,15 +634,17 @@ class Rolling:
             w = W.orderBy(INDEX).rowsBetween(-before, after)
             count_needed = self._min_periods if self._min_periods is not None else self._window
         else:
-            if self._center:
-                raise NotImplementedError("center=True requires an integer window")
             # micros-resolution range window: sub-second timestamps bucket
             # correctly (unix_timestamp would truncate to whole seconds)
             usecs = _offset_seconds(self._window) * 1_000_000
-            w = (
-                W.orderBy(F.unix_micros(F.col(INDEX)))
-                .rangeBetween(-(usecs - 1), 0)
-            )
+            if self._center:
+                # pandas centered offset window is (t - w/2, t + w/2]
+                # (verified empirically; closed='right' both shifted)
+                half = usecs // 2
+                lo, hi = -(half - 1), usecs - half
+            else:
+                lo, hi = -(usecs - 1), 0
+            w = W.orderBy(F.unix_micros(F.col(INDEX))).rangeBetween(lo, hi)
             count_needed = self._min_periods if self._min_periods is not None else 1
         return w, count_needed
 
@@ -947,6 +986,12 @@ class SparkFrame:
         if isinstance(key, str):
             return Series(self, F.col(key), key)
         if isinstance(key, Series):  # boolean mask → Filter (reference _expr.py:1366)
+            mask_sdf = key._frame._sdf
+            lazy_cols = [c for c in mask_sdf.columns if c.startswith("__lazy")]
+            if lazy_cols:
+                # mask built against a LazyScalar: its frame is ours plus
+                # the broadcast scalar column(s) — filter there, then drop
+                return SparkFrame(mask_sdf.filter(key._expr).drop(*lazy_cols))
             return SparkFrame(self._sdf.filter(key._expr))
         if isinstance(key, (list, tuple)):  # Projection (reference _expr.py:1378)
             return SparkFrame(self._sdf.select(INDEX, *key))
@@ -1133,12 +1178,28 @@ class SparkFrame:
         return SparkFrame(self._sdf.orderBy(*[F.asc(c) for c in _as_list(columns)]).limit(n))
 
     def repartition(
-        self, npartitions: int | None = None, freq: str | None = None
+        self,
+        npartitions: int | None = None,
+        freq: str | None = None,
+        divisions: Sequence | None = None,
+        partition_size: str | int | None = None,
     ) -> "SparkFrame":
-        """Reference ``Repartition{ToFewer,ToMore,Freq}``
-        (``_repartition.py:385-478``).  ``freq=`` range-partitions by the
-        time-bucketed index so each partition holds whole time buckets; the
-        size-based variant is runtime-handled by AQE coalescing."""
+        """Reference ``Repartition{ToFewer,ToMore,Freq,Divisions,Size}``
+        (``_repartition.py:385-478``).
+
+        * ``freq=`` range-partitions by the time-bucketed index so each
+          partition holds whole time buckets.
+        * ``divisions=`` reproduces the reference's explicit-boundary form:
+          division ``i`` owns ``divisions[i] <= idx < divisions[i+1]``
+          (last boundary inclusive, like dask).  Rows route via a compiled
+          CASE ladder on the index, then ``repartitionByRange`` on the
+          division number — ordered partitions without a sampling pass.
+        * ``partition_size=`` targets bytes per partition (``"128MB"`` or
+          an int): partition count = ceil(estimated bytes / target), the
+          estimate from the JVM plan's ``sizeInBytes`` statistic — no data
+          scan, no collect.
+        * otherwise a plain hash ``repartition(npartitions)``.
+        """
         if freq is not None:
             secs = _offset_seconds(freq)
             bucket = F.floor(F.unix_timestamp(F.col(INDEX)) / secs)
@@ -1148,10 +1209,37 @@ class SparkFrame:
                 else self._sdf.repartitionByRange(bucket)
             )
             return SparkFrame(sdf)
+        if divisions is not None:
+            bounds = list(divisions)
+            if len(bounds) < 2:
+                raise ValueError("divisions needs at least 2 boundary values")
+            div = F.lit(len(bounds) - 2)  # last division is right-inclusive
+            for i in reversed(range(len(bounds) - 1)):
+                div = F.when(F.col(INDEX) < F.lit(bounds[i + 1]), F.lit(i)).otherwise(div)
+            sdf = self._sdf.filter(
+                (F.col(INDEX) >= F.lit(bounds[0])) & (F.col(INDEX) <= F.lit(bounds[-1]))
+            ).repartitionByRange(len(bounds) - 1, div)
+            return SparkFrame(sdf)
+        if partition_size is not None:
+            from ..sources.tables import _parse_bytes
+
+            target = (
+                partition_size
+                if isinstance(partition_size, int)
+                else _parse_bytes(str(partition_size))
+            )
+            est = int(
+                self._sdf._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+            n = max(1, -(-est // target))
+            return SparkFrame(self._sdf.repartition(n))
         if npartitions is None:
             raise ValueError(
-                "repartition() requires npartitions and/or freq "
-                "(reference Repartition takes an explicit target)"
+                "repartition() requires one of npartitions, freq, divisions, "
+                "or partition_size (reference Repartition takes an explicit target)"
             )
         return SparkFrame(self._sdf.repartition(npartitions))
 
@@ -1163,6 +1251,43 @@ class SparkFrame:
     @property
     def npartitions(self) -> int:
         return self._sdf.rdd.getNumPartitions()
+
+    @property
+    def partitions(self) -> "_PartitionsIndexer":
+        """Positional partition selection (reference ``Partitions``,
+        ``_expr.py``; ``df.partitions[i]`` / ``[i:j]``): a filter on
+        ``spark_partition_id()`` — one scan, the non-selected partitions
+        produce empty tasks (no shuffle, no collect)."""
+        return _PartitionsIndexer(self)
+
+    def memory_usage(self, deep: bool = True) -> pd.Series:
+        """Per-column bytes (reference ``MemoryUsage``,
+        ``_reductions.py``): fixed-width dtypes cost width × non-null
+        count; strings/binary cost their octet length (the ``deep=True``
+        pandas meaning — shallow object-pointer sizes have no Spark
+        analog).  One aggregate job over all columns."""
+        widths = {
+            "bigint": 8, "double": 8, "int": 4, "float": 4, "smallint": 2,
+            "tinyint": 1, "boolean": 1, "date": 4, "timestamp": 8,
+            "timestamp_ntz": 8,
+        }
+        aggs = []
+        cols = [c for c in self._sdf.columns if c != INDEX]
+        for f_ in self._sdf.schema.fields:
+            if f_.name not in cols:
+                continue
+            dt = f_.dataType.simpleString()
+            if dt in widths:
+                aggs.append((F.count(F.col(f_.name)) * widths[dt]).alias(f_.name))
+            else:
+                aggs.append(
+                    F.coalesce(
+                        F.sum(F.octet_length(F.col(f_.name).cast("string"))),
+                        F.lit(0),
+                    ).alias(f_.name)
+                )
+        row = self._sdf.agg(*aggs).collect()[0]
+        return pd.Series(row.asDict())
 
     # -- joins (reference _merge.py; suffixes via pre-rename) --------------
     def merge(
@@ -1508,6 +1633,26 @@ class SparkFrame:
 
     def explain(self, mode: str = "formatted") -> None:
         self._sdf.explain(mode)
+
+
+class _PartitionsIndexer:
+    """``df.partitions[i]`` / ``df.partitions[i:j]`` (reference
+    ``Partitions``): selects physical partitions by position via a
+    ``spark_partition_id()`` filter."""
+
+    def __init__(self, frame: "SparkFrame"):
+        self._f = frame
+
+    def __getitem__(self, key) -> "SparkFrame":
+        pid = F.spark_partition_id()
+        if isinstance(key, slice):
+            n = self._f.npartitions
+            start, stop, step = key.indices(n)
+            wanted = list(range(start, stop, step))
+            return SparkFrame(self._f._sdf.filter(pid.isin(wanted)))
+        if key < 0:
+            key = self._f.npartitions + key
+        return SparkFrame(self._f._sdf.filter(pid == int(key)))
 
 
 class _LocIndexer:

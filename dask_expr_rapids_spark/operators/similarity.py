@@ -93,18 +93,35 @@ def cluster_sums(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Integer sum-vector per cluster as (cluster, sv array<bigint>, sn2).
+    """Integer MEAN vector per cluster as (cluster, sv array<bigint>, sn2).
 
-    The un-normalized sum vector IS the centroid for cosine routing:
-    cos(p, S/n) == cos(p, S) — the 1/n scale cancels — so routing never
-    needs a float division, keeping it exact.  One corpus pass (posexplode →
-    partial-agg by (cluster, dim)), then re-assembled into a dense array so
-    downstream routing is a tiny broadcast relation of nclusters rows.
+    Routing uses the centroid mean, not the raw sum: a raw sum-vector's
+    entries grow with cluster size, and its squared norm overflows BIGINT
+    at ~10× the driver SF (found by the sf1 rehearsal,
+    scripts/scale_rehearsal.py).  The mean keeps entries at probe scale
+    (~Q_SCALE × |value|) REGARDLESS of cluster population, so the integer
+    dot/norm stay in range at any corpus size; values up to |v|≈380 are
+    safe at dim 64 (Q_SCALE² × v² × dim < 2⁶³).
+
+    Exactness: per-dim sums accumulate in DECIMAL(28,0) — exact and
+    order-independent at any cluster size (a BIGINT sum itself overflows
+    around 10¹¹ members × unit values) — then one floor-division to the
+    integer mean.  floor(exact_int_as_double / n) is IEEE-deterministic,
+    so Spark and the DuckDB oracle agree bit-for-bit.
+
+    One corpus pass (posexplode → partial-agg by (cluster, dim)), then
+    re-assembled into a dense array so downstream routing is a tiny
+    broadcast relation of nclusters rows.
     """
     per_dim = (
         corpus.select(F.col(cluster_col), F.posexplode(quantize(F.col(vec_col))).alias("u", "x"))
         .groupBy(cluster_col, "u")
-        .agg(F.sum("x").alias("s"))
+        .agg(
+            F.floor(
+                F.sum(F.col("x").cast("decimal(28,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("s")
+        )
     )
     return per_dim.groupBy(cluster_col).agg(
         F.transform(

@@ -320,26 +320,44 @@ def dedup_ngram_jaccard(spark, sf_dir):
         ).alias("g"),
     )
     gsets = cache_scoped(gsets)
-    # Each unordered pair matches on exactly ONE staggered probe key (the
-    # probe keys {lenband-1, lenband, lenband+1} are distinct, and only the
-    # one equal to the partner's band joins), so candidates are born unique
-    # — no distinct() pass.  Carrying both gram arrays through the join
-    # lets verification run inline in the same codegen stage: candidates
-    # are generated, intersected, and filtered without ever materializing
-    # or shuffling the 3·n·bandsize pair set.  At bench scale the build
-    # side auto-broadcasts; at 100 TB Spark falls back to a hash-shuffle
-    # equi-join on the band key — still never O(n²).
-    probes = gsets.select(
+    # Two-level blocking: ±1 length band AND a shared PREFIX gram.  The
+    # sf1 rehearsal (scripts/scale_rehearsal.py) showed length bands alone
+    # go quadratic in per-band density (70× slowdown at 10× data): the
+    # block key ignores content, so every in-band pair is a candidate.
+    # Prefix filtering (AllPairs/PPJoin lemma): sort each gram set in one
+    # global order (the hash value); if J(A,B) >= t then A and B share a
+    # gram within their first |S| - ceil(t*|S|) + 1 grams — so joining on
+    # (band, prefix-gram) generates a SUPERSET of the true pairs and the
+    # oracle-checked output is unchanged.  Candidates are slim (id, id)
+    # pairs — the gram arrays do NOT ride the fan-out join; after distinct
+    # (a pair can share several prefix grams) the arrays reattach via two
+    # joins against the cached gsets and verification runs in codegen.
+    # A corpus where everything truly matches is output-quadratic no
+    # matter the blocking; this keeps candidate volume proportional to
+    # docs-sharing-content, not (docs-per-band)².
+    pref = F.expr(
+        f"slice(array_sort(g), 1, greatest(1, size(g) - CAST(ceil(size(g) * {_JAC_MIN}) AS INT) + 1))"
+    )
+    gp = gsets.select("doc_id", "lenband", pref.alias("pgs"))
+    probes = gp.select(
         F.col("doc_id").alias("id1"),
-        F.col("g").alias("g1"),
+        "pgs",
         F.explode(
             F.array(F.col("lenband") - 1, F.col("lenband"), F.col("lenband") + 1)
         ).alias("k"),
+    ).select("id1", F.explode("pgs").alias("pg"), "k")
+    index = gp.select(
+        F.col("doc_id").alias("id2"), F.explode("pgs").alias("pg"), F.col("lenband").alias("k")
     )
-    pairs = probes.join(
-        gsets.select(F.col("doc_id").alias("id2"), F.col("g").alias("g2"), F.col("lenband").alias("k")),
-        "k",
-    ).filter(F.col("id1") < F.col("id2"))
+    cand = (
+        probes.join(index, ["k", "pg"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    pairs = cand.join(
+        gsets.select(F.col("doc_id").alias("id1"), F.col("g").alias("g1")), "id1"
+    ).join(gsets.select(F.col("doc_id").alias("id2"), F.col("g").alias("g2")), "id2")
     inter = F.size(F.array_intersect("g1", "g2"))
     union = F.size("g1") + F.size("g2") - inter
     jac = inter.cast("double") / union.cast("double")

@@ -131,7 +131,11 @@ _NPROBE = 2
 
 _IVF_SQL = f"""
     WITH sums AS (
-      SELECT label, CAST(u AS INT) AS u, SUM({_QELEM.format(v='e')}) AS s
+      -- integer MEAN per (cluster, dim): floor(exact-sum / count) matches
+      -- Spark's decimal-sum + floor-div (overflow-safe at any cluster size)
+      SELECT label, CAST(u AS INT) AS u,
+             CAST(FLOOR(CAST(SUM({_QELEM.format(v='e')}) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS s
       FROM (SELECT label, embedding, unnest(range({_DIM})) AS u
             FROM embeddings) e
       GROUP BY 1, 2
@@ -226,7 +230,9 @@ def embedding_centroids(spark, sf_dir):
         .groupBy("label", "pos")
         .agg(
             (
-                F.sum(_qelem(F.col("x"))).cast("double")
+                # decimal accumulate: exact at any cluster population (the
+                # DuckDB twin's SUM(BIGINT) is HUGEINT — also exact)
+                F.sum(_qelem(F.col("x")).cast("decimal(28,0)")).cast("double")
                 / (F.lit(float(_Q)) * F.count(F.lit(1)).cast("double"))
             ).alias("centroid")
         )

@@ -191,23 +191,51 @@ _K = 12
 _ROWS_PER_BAND = 4
 _NGRAM = 5
 
+# MinHash family: ONE md5 per shingle (first 8 hex digits → uint32 g32),
+# then h_j = min((A_j·g32 + B_j) mod P) with fixed constants — the sf1
+# rehearsal showed the per-(j, gram) md5 scheme spends 12× the hashing
+# (12·md5 per shingle); integer mixing gives the same LSH guarantees at
+# one digest per shingle.  Products stay < 2^56, exact in BIGINT/double in
+# both engines.
+_MH_P = 4_294_967_311  # prime > 2^32
+_MH_A = [1_000_003 * (j + 1) + 12_345 for j in range(_K)]
+_MH_B = [999_983 * (j + 1) * (j + 1) + 54_321 for j in range(_K)]
+
+
+def _md5_u32_sql(expr: str) -> str:
+    """DuckDB arithmetic for Spark's conv(substr(md5(expr),1,8),16,10)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
 _GRAMS_SQL = f"""
   norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
   grams AS (
-    SELECT DISTINCT doc_id, substr(t, CAST(u AS INT), {_NGRAM}) AS g
-    FROM (SELECT doc_id, t,
-                 unnest(range(1, greatest(len(t) - {_NGRAM - 1}, 1) + 1)) AS u
-          FROM norm)
+    SELECT DISTINCT doc_id, g, {_md5_u32_sql('g')} AS g32
+    FROM (SELECT doc_id, substr(t, CAST(u AS INT), {_NGRAM}) AS g
+          FROM (SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - {_NGRAM - 1}, 1) + 1)) AS u
+                FROM norm))
   )
 """
 
 _MINHASH_COLS_SQL = ",\n           ".join(
-    f"MIN(md5('{j}|' || g)) AS h{j}" for j in range(_K)
+    f"MIN((g32 * {_MH_A[j]} + {_MH_B[j]}) % {_MH_P}) AS h{j}" for j in range(_K)
 )
 _BAND_KEYS_SQL = ", ".join(
     "md5('{b}|' || {parts})".format(
         b=b,
-        parts=" || '|' || ".join(f"h{j}" for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)),
+        parts=" || '|' || ".join(
+            f"CAST(h{j} AS VARCHAR)"
+            for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+        ),
     )
     + f" AS band{b}"
     for b in range(_K // _ROWS_PER_BAND)
@@ -284,10 +312,21 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
     # length-bounded, so collect_set stays small; for unbounded docs cap the
     # shingle count upstream.  Persisted: three consumers (bands self-join,
     # both sides of verification) would otherwise recompute the lineage.
-    mh = grams.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("g")))).alias(f"h{j}") for j in range(_K)],
-        F.collect_set("g").alias("gset"),
-    ).withColumn("n", F.size("gset"))
+    g32 = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+    mh = (
+        grams.withColumn("g32", g32)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.col("g32") * F.lit(_MH_A[j]) + F.lit(_MH_B[j])) % F.lit(_MH_P)).alias(
+                    f"h{j}"
+                )
+                for j in range(_K)
+            ],
+            F.collect_set("g").alias("gset"),
+        )
+        .withColumn("n", F.size("gset"))
+    )
     from .registry import cache_scoped
 
     mh = cache_scoped(mh)
@@ -299,7 +338,10 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
                 F.concat_ws(
                     "|",
                     F.lit(str(b)),
-                    *[F.col(f"h{j}") for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)],
+                    *[
+                        F.col(f"h{j}").cast("string")
+                        for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+                    ],
                 )
             ).alias(f"band{b}")
             for b in range(n_bands)

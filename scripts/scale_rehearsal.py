@@ -54,7 +54,13 @@ def make_documents(rng: np.random.Generator) -> None:
     rows = duckdb.sql(
         f"SELECT text, lang, source FROM read_parquet('{SRC}/documents.parquet')"
     ).fetchall()
-    vocab = sorted({w for t, _, _ in rows for w in t.split()})
+    # 10× the driver vocabulary (digit-suffixed variants): the raw sf0.1
+    # vocab is ~40 words, which makes EVERY random doc near-identical under
+    # simhash/Jaccard — realistic corpora have enough lexical entropy that
+    # unrelated docs don't collide.  Suffixing keeps the text shape
+    # (whitespace words, similar char lengths) the text operators expect.
+    base_vocab = sorted({w for t, _, _ in rows for w in t.split()})
+    vocab = [f"{w}{d}" for w in base_vocab for d in range(10)]
     lengths = [len(t.split()) for t, _, _ in rows]
     langs = [r[1] for r in rows]
     sources = [r[2] for r in rows]
@@ -92,7 +98,13 @@ def make_documents(rng: np.random.Generator) -> None:
 
 def make_embeddings(rng: np.random.Generator) -> None:
     dim, k = 64, 10
-    centers = rng.normal(size=(k, dim)).astype("float32") * 3.0
+    # centers at half the per-vector noise scale: intra-cluster cosine
+    # ~|c|²/(|c|²+dim) ≈ 0.2, BELOW the dedup threshold (0.3), so the
+    # near-dup answer is the injected duplicates — realistic.  (center×3
+    # made every intra-cluster pair a "near-dup": 5.8M artifact pairs;
+    # center×1 still put intra-cluster cosine ≈0.5 above threshold.)
+    # Clusters remain real geometric structure for IVF routing.
+    centers = rng.normal(size=(k, dim)).astype("float32") * 0.5
     labels = rng.integers(0, k, size=N_VECS)
     vecs = centers[labels] + rng.normal(size=(N_VECS, dim)).astype("float32")
     # 3% near-duplicate vectors (tiny perturbation of another row)

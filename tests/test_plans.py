@@ -134,19 +134,25 @@ def test_bucketed_join_elides_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
-def test_neardup_verify_is_single_join_stage(spark):
-    """The LSH near-dup pipelines must verify candidates inline in the
-    candidate-generating join — no re-attach joins, no shuffle of the raw
-    candidate-pair set.  Plan evidence: ngram-jaccard has exactly one
-    non-broadcast join input chain and NO distinct/HashAggregate between
-    the join and the jaccard filter (the blocking keys make candidate
-    pairs born-unique)."""
+def test_neardup_candidates_are_slim(spark):
+    """ngram-jaccard round-3 shape (sf1 rehearsal finding): the candidate
+    fan-out join runs on SLIM (band, prefix-gram, id) rows — the gram
+    arrays must NOT ride the fan-out join — then pairs dedup and the
+    arrays reattach for inline verification.  Plan evidence: exactly one
+    join whose both inputs carry the gram array column (the verify
+    reattach), a distinct (HashAggregate on id1,id2) before it, and
+    array_intersect in the final projection/filter."""
     plan = plan_of(REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_DIR), "simple")
-    # candidate generation + verify collapse into one join
-    assert plan.count("Join") == 1, plan
-    # jaccard verification must sit in the join condition / adjacent filter,
-    # not behind an exchange of materialized pairs
+    # candidate join + two reattach joins
+    assert plan.count("Join") == 3, plan
     assert "array_intersect" in plan
+    # the distinct pass exists (candidate pairs dedup before verification)
+    assert "HashAggregate" in plan
+    # the fan-out join's explode output (pg) joins without the array col:
+    # no plan line carries both the exploded prefix-gram and the g array
+    for line in plan.splitlines():
+        if " pg#" in line and "Join" in line:
+            assert "g#" not in line.replace("pg#", ""), line
 
 
 def test_documents_pipelines_parallelize_small_scans(spark):

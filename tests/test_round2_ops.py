@@ -67,9 +67,10 @@ def test_rolling_center_sum_min_periods(sf, pdf):
     )
 
 
-def test_rolling_center_time_window_raises(sf):
-    with pytest.raises(NotImplementedError):
-        sf["z"].rolling("5min", center=True).mean()
+def test_rolling_center_time_window_supported(sf):
+    # implemented in round 3 (test_round3_ops.py::test_rolling_center_time_window
+    # checks values against pandas); here just assert it no longer raises
+    sf["z"].rolling("5min", center=True)
 
 
 # -- rolling skew / kurt (sample-adjusted, pandas estimators) --------------

@@ -253,3 +253,99 @@ def test_resample_size(spark):
     want = p.resample("1h").size()
     want = want[want > 0]  # Spark emits only non-empty buckets
     pdt.assert_series_equal(got, want, check_dtype=False, check_names=False, check_freq=False)
+
+
+# -- categorical known/unknown state machine (reference _categorical.py) ---
+def test_cat_state_machine(spark):
+    p = pd.DataFrame({"s": ["b", "a", "c", "a", None]})
+    f = SparkFrame.from_pandas(spark, p)
+    s = f["s"]
+    assert s.cat.known is False
+    known = s.cat.as_known()
+    assert known.cat.known is True
+    assert known.cat.categories == ["a", "b", "c"]
+    # cached dictionary reused (no recompute): mutate cache to prove reuse
+    known._cat_known = ["a", "b"]
+    assert known.cat.categories == ["a", "b"]
+    assert known.cat.as_unknown().cat.known is False
+    ext = s.cat.set_categories(["c", "b"])
+    got = ext.cat.codes.to_pandas().tolist()
+    assert got == [1, -1, 0, -1, -1]  # 'a' and null -> -1
+    added = ext.cat.add_categories(["z"])
+    assert added.cat.categories == ["c", "b", "z"]
+    removed = added.cat.remove_categories("b")
+    assert removed.cat.categories == ["c", "z"]
+
+
+# -- repartition(divisions=) / partition_size= (reference _repartition) ----
+def test_repartition_divisions(spark):
+    p = pd.DataFrame({"v": np.arange(100, dtype="int64")})
+    f = SparkFrame.from_pandas(spark, p, npartitions=5)
+    r = f.repartition(divisions=[0, 25, 50, 99])
+    assert r.npartitions == 3
+    # contents preserved (boundaries inclusive at the ends)
+    assert sorted(r.to_pandas().v.tolist()) == list(range(100))
+    # out-of-range rows are dropped, like dask's divisions contract
+    r2 = f.repartition(divisions=[10, 50, 89])
+    assert sorted(r2.to_pandas().v.tolist()) == list(range(10, 90))
+
+
+def test_repartition_partition_size(spark):
+    p = pd.DataFrame({"v": np.arange(1000, dtype="int64")})
+    f = SparkFrame.from_pandas(spark, p, npartitions=2)
+    small = f.repartition(partition_size="1k")  # tiny target -> many parts
+    assert small.npartitions > 2
+    big = f.repartition(partition_size="1g")  # huge target -> 1 part
+    assert big.npartitions == 1
+
+
+# -- rolling center=True over a time-offset window -------------------------
+@pytest.mark.parametrize("window", ["3s", "4s", "5s"])
+def test_rolling_center_time_window(spark, window):
+    idx = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:01", "2024-01-01 00:00:02",
+         "2024-01-01 00:00:03", "2024-01-01 00:00:04", "2024-01-01 00:00:06"]
+    )
+    p = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]}, index=idx)
+    f = SparkFrame.from_pandas(spark, p, npartitions=2)
+    got = f["v"].rolling(window, center=True).sum().to_pandas()
+    want = p.v.rolling(window, center=True).sum()
+    pdt.assert_series_equal(got, want, check_dtype=False, check_names=False, check_freq=False)
+
+
+# -- LazyScalar: composable reductions, one job instead of two -------------
+def test_lazy_scalar_composes(spark):
+    p = pd.DataFrame({"x": np.arange(20, dtype="float64")})
+    f = SparkFrame.from_pandas(spark, p, npartitions=3)
+    got = f[f["x"] > f["x"].mean(lazy=True)].to_pandas().sort_index()
+    want = p[p.x > p.x.mean()]
+    pdt.assert_frame_equal(got[["x"]], want, check_dtype=False)
+    # arithmetic against the lazy scalar also composes
+    centered = (f["x"] - f["x"].mean(lazy=True)).to_pandas()
+    pdt.assert_series_equal(
+        centered, p.x - p.x.mean(), check_dtype=False, check_names=False
+    )
+    # force the value
+    assert float(f["x"].max(lazy=True)) == 19.0
+    # the composed plan contains no second scan via collect: it is a single
+    # DataFrame whose plan embeds the aggregate (smoke: count works)
+    assert f[f["x"] >= f["x"].min(lazy=True)].count() == 20
+
+
+# -- the last two documented non-goals, now implemented --------------------
+def test_partitions_positional(spark):
+    p = pd.DataFrame({"v": np.arange(40, dtype="int64")})
+    f = SparkFrame.from_pandas(spark, p, npartitions=4)
+    total = sum(f.partitions[i].count() for i in range(f.npartitions))
+    assert total == 40
+    # slice form unions contiguous partitions; full slice is everything
+    assert f.partitions[:].count() == 40
+    assert f.partitions[0].npartitions >= 1
+
+
+def test_memory_usage(spark):
+    p = pd.DataFrame({"a": [1, 2, 3], "s": ["xx", "yyy", None]})
+    f = SparkFrame.from_pandas(spark, p)
+    got = f.memory_usage()
+    assert got["a"] == 3 * 8  # bigint non-null count x width
+    assert got["s"] == 5  # octet lengths of 'xx' + 'yyy'
