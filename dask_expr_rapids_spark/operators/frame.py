@@ -223,8 +223,82 @@ class Series:
     def isna(self):
         return Series(self._frame, self._expr.isNull(), self.name)
 
+    isnull = isna
+
     def notnull(self):
         return Series(self._frame, self._expr.isNotNull(), self.name)
+
+    notna = notnull
+
+    # -- named comparison methods (reference eq/ne/lt/le/gt/ge,
+    # _collection.py method operators) -------------------------------------
+    def eq(self, other):
+        return self.__eq__(other)
+
+    def ne(self, other):
+        return self.__ne__(other)
+
+    def lt(self, other):
+        return self.__lt__(other)
+
+    def le(self, other):
+        return self.__le__(other)
+
+    def gt(self, other):
+        return self.__gt__(other)
+
+    def ge(self, other):
+        return self.__ge__(other)
+
+    def copy(self) -> "Series":
+        """Plans are immutable — copy is a same-plan handle (reference
+        ``copy``; dask likewise returns a shallow expression copy)."""
+        return Series(self._frame, self._expr, self.name)
+
+    @property
+    def dtype(self) -> str:
+        """Spark SQL type name of the column (the engine's dtype)."""
+        return (
+            self._frame._sdf.select(self._expr.alias("v"))
+            .schema[0]
+            .dataType.simpleString()
+        )
+
+    @property
+    def shape(self) -> tuple:
+        return (self._frame._sdf.count(),)
+
+    @property
+    def values(self):
+        """Materialized numpy array (driver action, like ``compute()``)."""
+        return self.to_pandas().to_numpy()
+
+    @property
+    def is_monotonic_increasing(self) -> bool:
+        """Reference ``IsMonotonicIncreasing`` (_reductions.py): one window
+        pass + aggregate — no collect of the data."""
+        return self._monotonic(F.col("__v__") >= F.col("__p__"))
+
+    @property
+    def is_monotonic_decreasing(self) -> bool:
+        return self._monotonic(F.col("__v__") <= F.col("__p__"))
+
+    def _monotonic(self, cmp) -> bool:
+        w = W.orderBy(INDEX)
+        d = self._frame._sdf.select(
+            self._expr.alias("__v__"), F.lag(self._expr).over(w).alias("__p__")
+        )
+        row = d.agg(
+            F.min(F.when(F.col("__p__").isNull(), True).otherwise(cmp)).alias("ok")
+        ).collect()[0]
+        return bool(row["ok"]) if row["ok"] is not None else True
+
+    def median_approximate(self, accuracy: int = 10_000):
+        """Reference ``median_approximate`` → native approx_percentile
+        sketch (one pass, mergeable — the scale path for quantiles)."""
+        return self._reduce(
+            F.expr(f"approx_percentile({self._to_sql()}, 0.5, {accuracy})")
+        )
 
     def fillna(self, value):
         return Series(self._frame, F.coalesce(self._expr, F.lit(value)), self.name)
@@ -1111,6 +1185,123 @@ class SparkFrame:
             for f in self._sdf.schema.fields
             if f.name != INDEX
         }
+
+    # -- small pandas-surface parity (reference _collection.py) ------------
+    def copy(self) -> "SparkFrame":
+        """Plans are immutable — copy is a same-plan handle, like dask's
+        shallow expression copy."""
+        return SparkFrame(self._sdf)
+
+    @property
+    def shape(self) -> tuple:
+        """(row count, column count) — the row count is a job, like the
+        reference's ``shape`` computing ``Len``."""
+        return (self._sdf.count(), len(self.columns))
+
+    @property
+    def axes(self) -> list:
+        return [None, self.columns]
+
+    @property
+    def divisions(self) -> tuple:
+        """Unknown divisions (reference frames without computed divisions
+        report ``(None, …)`` the same way): Spark partitions carry no
+        pre-declared index boundaries unless range-partitioned."""
+        return tuple([None] * (self.npartitions + 1))
+
+    def keys(self) -> list:
+        return self.columns
+
+    def items(self):
+        for c in self.columns:
+            yield c, self[c]
+
+    def get_partition(self, i: int) -> "SparkFrame":
+        """Reference ``get_partition`` → ``partitions[i]``."""
+        return self.partitions[i]
+
+    def persist(self) -> "SparkFrame":
+        """Materialize and pin the plan (reference ``persist``): Spark
+        cache + an eager count to populate it."""
+        sdf = self._sdf.persist()
+        sdf.count()
+        return SparkFrame(sdf)
+
+    def to_series(self) -> "Series":
+        """Single-column frame → Series (reference ``to_series``)."""
+        cols = self.columns
+        if len(cols) != 1:
+            raise ValueError(f"to_series needs exactly 1 column, have {cols}")
+        return self[cols[0]]
+
+    @classmethod
+    def from_dict(
+        cls, spark: SparkSession, data: Mapping, npartitions: int | None = None
+    ) -> "SparkFrame":
+        """Reference ``from_dict`` (``io/io.py``)."""
+        return cls.from_pandas(spark, pd.DataFrame(data), npartitions=npartitions)
+
+    def select_dtypes(self, include=None, exclude=None) -> "SparkFrame":
+        """Column subset by engine dtype name (reference/pandas
+        ``select_dtypes``); 'number' matches the numeric family."""
+        numeric = {"bigint", "int", "smallint", "tinyint", "double", "float", "decimal"}
+
+        def matches(dt: str, spec) -> bool:
+            for s in _as_list(spec):
+                if s == "number" and dt.split("(")[0] in numeric:
+                    return True
+                if dt == s or dt.startswith(str(s)):
+                    return True
+            return False
+
+        cols = []
+        for name, dt in self.dtypes.items():
+            if include is not None and not matches(dt, include):
+                continue
+            if exclude is not None and matches(dt, exclude):
+                continue
+            cols.append(name)
+        return self[cols]
+
+    def shuffle(self, on, npartitions: int | None = None) -> "SparkFrame":
+        """Hash-partition by key columns (reference ``shuffle``): the
+        explicit pre-partitioning used to co-locate downstream key-local
+        work — one exchange, no sort."""
+        cols = [F.col(c) for c in _as_list(on)]
+        sdf = (
+            self._sdf.repartition(npartitions, *cols)
+            if npartitions
+            else self._sdf.repartition(*cols)
+        )
+        return SparkFrame(sdf)
+
+    def memory_usage_per_partition(self, deep: bool = True) -> pd.Series:
+        """Bytes per physical partition (reference
+        ``memory_usage_per_partition``): octet-length sum grouped by
+        ``spark_partition_id`` — one scan, no collect of data."""
+        sz = sum(
+            (
+                F.octet_length(F.col(c).cast("string"))
+                for c in self.columns
+            ),
+            F.lit(0),
+        )
+        rows = (
+            self._sdf.select(F.spark_partition_id().alias("pid"), sz.alias("sz"))
+            .groupBy("pid")
+            .agg(F.sum("sz").alias("bytes"))
+            .orderBy("pid")
+            .collect()
+        )
+        return pd.Series({r["pid"]: r["bytes"] for r in rows})
+
+    def info(self) -> str:
+        """Schema + partition summary (reference ``info``); returns the
+        text instead of printing."""
+        lines = [f"SparkFrame: {len(self.columns)} columns, {self.npartitions} partitions"]
+        for name, dt in self.dtypes.items():
+            lines.append(f"  {name}: {dt}")
+        return "\n".join(lines)
 
     def to_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
         self._sdf.drop(INDEX).write.mode(mode).option(

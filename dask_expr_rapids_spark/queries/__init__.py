@@ -27,5 +27,6 @@ from . import streaming  # noqa: E402,F401
 from . import breadth  # noqa: E402,F401
 from . import frame_api  # noqa: E402,F401
 from . import round2  # noqa: E402,F401
+from . import round3  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register", "queries", "oracle_sql"]

@@ -75,6 +75,34 @@ def to_parquet(
     writer.parquet(path)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    lines: bool = True,
+    **options,
+) -> DataFrame:
+    """JSON-lines scan (reference ``read_json`` surface via dask; Spark's
+    native JSON source).  Pass an explicit ``schema`` in production — schema
+    inference costs an extra pass over the data and infers column ORDER from
+    the first record, neither acceptable at 100 TB."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    reader = reader.option("multiLine", str(not lines).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def to_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    """JSON-lines sink — executor-parallel writes, one file per task."""
+    writer = df.write.mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.json(path)
+
+
 def from_pandas(spark: SparkSession, pdf: pd.DataFrame, npartitions: int | None = None) -> DataFrame:
     df = spark.createDataFrame(pdf)
     return df.repartition(npartitions) if npartitions else df

@@ -349,3 +349,46 @@ def test_memory_usage(spark):
     got = f.memory_usage()
     assert got["a"] == 3 * 8  # bigint non-null count x width
     assert got["s"] == 5  # octet lengths of 'xx' + 'yyy'
+
+
+# -- small pandas-surface parity added in round 3 --------------------------
+def test_surface_parity_methods(spark):
+    p = pd.DataFrame({"a": [3, 1, 2], "s": ["x", "y", "z"], "f": [0.5, 1.5, 2.5]})
+    f = SparkFrame.from_pandas(spark, p, npartitions=2)
+    assert f.shape == (3, 3)
+    assert f.axes[1] == ["a", "s", "f"]
+    assert f.keys() == ["a", "s", "f"]
+    assert dict(f.dtypes)["s"] == "string"
+    assert [k for k, _ in f.items()] == ["a", "s", "f"]
+    assert len(f.divisions) == f.npartitions + 1
+    assert f.copy().count() == 3
+    assert sorted(f.get_partition(0).to_pandas().index.tolist() +
+                  f.get_partition(1).to_pandas().index.tolist()) == [0, 1, 2]
+    assert f.select_dtypes(include="number").columns == ["a", "f"]
+    assert f.select_dtypes(exclude="string").columns == ["a", "f"]
+    assert f[["a"]].to_series().name == "a"
+    assert f.shuffle("a", npartitions=3).npartitions == 3
+    per_part = f.memory_usage_per_partition()
+    assert per_part.sum() > 0
+    assert "a: bigint" in f.info()
+    persisted = f.persist()
+    assert persisted.count() == 3
+    persisted._sdf.unpersist()
+
+
+def test_series_parity_methods(spark):
+    p = pd.DataFrame({"v": [1.0, 2.0, 3.0], "u": [3.0, 1.0, 2.0]})
+    f = SparkFrame.from_pandas(spark, p, npartitions=2)
+    s = f["v"]
+    assert s.dtype == "double"
+    assert s.shape == (3,)
+    assert list(s.values) == [1.0, 2.0, 3.0]
+    assert s.is_monotonic_increasing is True
+    assert s.is_monotonic_decreasing is False
+    assert f["u"].is_monotonic_increasing is False
+    assert s.copy().sum() == 6.0
+    assert s.median_approximate() == 2.0
+    # named comparisons mirror the dunder operators
+    assert f[s.ge(2.0)].count() == 2
+    assert f[s.isnull()].count() == 0
+    assert f[s.notna()].count() == 3
