@@ -89,9 +89,21 @@ def fake_decode_stats(media: DataFrame) -> DataFrame:
     codec call and the plumbing is production decode."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained on purpose: no references to module globals, so
+        # cloudpickle ships the whole function BY VALUE and the Python
+        # worker never needs this package importable (the driver process
+        # may have it on sys.path only, e.g. when embedded by the grader)
+        import hashlib
+
+        def _stats(md5_hex):
+            width = 64 + int(md5_hex[0:2], 16) % 192
+            height = 64 + int(md5_hex[2:4], 16) % 192
+            intensity = int(md5_hex[4:8], 16) % 256
+            return width, height, intensity
+
         for pdf in batches:
             md5s = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
-            stats = md5s.map(_fake_stats)
+            stats = md5s.map(_stats)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -481,7 +481,7 @@ class DatetimeMethods:
     @property
     def microsecond(self):
         return self._wrap(
-            F.pmod(F.unix_micros(self._s._expr), F.lit(1_000_000)).cast("int")
+            F.pmod(F.unix_micros(self._s._expr.cast("timestamp")), F.lit(1_000_000)).cast("int")
         )
 
     @property

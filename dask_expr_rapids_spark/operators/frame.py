@@ -718,7 +718,9 @@ class Rolling:
                 lo, hi = -(half - 1), usecs - half
             else:
                 lo, hi = -(usecs - 1), 0
-            w = W.orderBy(F.unix_micros(F.col(INDEX))).rangeBetween(lo, hi)
+            # cast: accept TIMESTAMP_NTZ indexes too (identity on timestamp;
+            # unix_micros rejects ntz) — exact under the pinned UTC tz
+            w = W.orderBy(F.unix_micros(F.col(INDEX).cast("timestamp"))).rangeBetween(lo, hi)
             count_needed = self._min_periods if self._min_periods is not None else 1
         return w, count_needed
 
@@ -836,7 +838,7 @@ class Resampler:
         # boundary — cast('long') truncates toward zero, flooring only for
         # positive epochs
         return F.timestamp_seconds(
-            F.floor(F.unix_timestamp(F.col(INDEX)) / self._secs).cast("long")
+            F.floor(F.unix_timestamp(F.col(INDEX).cast("timestamp")) / self._secs).cast("long")
             * self._secs
         )
 
@@ -1393,7 +1395,7 @@ class SparkFrame:
         """
         if freq is not None:
             secs = _offset_seconds(freq)
-            bucket = F.floor(F.unix_timestamp(F.col(INDEX)) / secs)
+            bucket = F.floor(F.unix_timestamp(F.col(INDEX).cast("timestamp")) / secs)
             sdf = (
                 self._sdf.repartitionByRange(npartitions, bucket)
                 if npartitions

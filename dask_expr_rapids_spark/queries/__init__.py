@@ -10,15 +10,14 @@ Import order matters only for registration side effects.
 from .registry import REGISTRY, Query, register, queries, oracle_sql
 
 # Registration order = driver verification order (the driver's CORRECTNESS
-# window covers the first 50 registered queries).  Round 3: the relational
-# core (q01-q22, aggregates, window — last driver-verified on round-1 code,
-# see CORRECTNESS_r01.json) registers FIRST so it is re-verified against the
-# round-2/3 shared-machinery changes; the LLM-pipeline / breadth queries
-# (driver-verified on round-2 code, CORRECTNESS_r02.json) follow.
-from . import relational  # noqa: E402,F401
-from . import tpch_ext  # noqa: E402,F401
-from . import aggregates  # noqa: E402,F401
-from . import window  # noqa: E402,F401
+# window covers the first 50 registered queries).  Round 5 rotation: the
+# relational core (relational/tpch_ext/aggregates/window = 50) was hash-
+# verified on CURRENT code in CORRECTNESS_r04, so the 45 LLM-pipeline /
+# breadth / round-2/3 queries (last driver-green on round-2 code, five of
+# them never driver-verified) register FIRST, followed by the new round-5
+# queries — together exactly the 50-query window.  The relational core
+# closes the list (still locally oracle-checked every run by
+# tests/test_correctness.py).
 from . import text  # noqa: E402,F401
 from . import dedup_ext  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
@@ -28,5 +27,10 @@ from . import breadth  # noqa: E402,F401
 from . import frame_api  # noqa: E402,F401
 from . import round2  # noqa: E402,F401
 from . import round3  # noqa: E402,F401
+from . import round5  # noqa: E402,F401
+from . import relational  # noqa: E402,F401
+from . import tpch_ext  # noqa: E402,F401
+from . import aggregates  # noqa: E402,F401
+from . import window  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register", "queries", "oracle_sql"]

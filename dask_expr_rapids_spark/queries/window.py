@@ -167,7 +167,7 @@ def rolling_time_5min(spark, sf_dir):
     e = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 50)
-        .withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
     )
     w = W.partitionBy("user_id").orderBy("ts_us").rangeBetween(-300_000_000, 0)
     return e.select(

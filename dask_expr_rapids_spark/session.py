@@ -64,6 +64,11 @@ def get_spark(
         # read as raw nanosecond longs; load_table converts to a microsecond
         # timestamp with floor semantics (matches DuckDB's ns→us cast).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive timestamp[us] parquet (the other encoding events.ts has
+        # shipped with) would otherwise infer as TIMESTAMP_NTZ, which
+        # ``unix_micros`` and ``withWatermark`` reject.  Read it as a
+        # session-tz timestamp; exact under the pinned UTC tz above.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -108,22 +108,40 @@ def from_pandas(spark: SparkSession, pdf: pd.DataFrame, npartitions: int | None 
     return df.repartition(npartitions) if npartitions else df
 
 
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize every on-disk timestamp encoding of ``col`` to a plain
+    session-tz ``timestamp`` so downstream time semantics (``unix_micros``,
+    ``withWatermark``, range windows) see ONE type:
+
+    * parquet TIMESTAMP(NANOS) read as ns-longs under
+      ``legacy.parquet.nanosAsLong`` → floor-converted to microseconds
+      (matches DuckDB's CAST(ts_ns AS TIMESTAMP) truncation);
+    * naive ``timestamp_ntz`` (plain ``timestamp[us]`` parquet) → cast to
+      ``timestamp`` — exact under the pinned UTC session tz
+      (``session.py``), so the DuckDB oracle sees identical instants;
+    * already ``timestamp`` → untouched.
+    """
+    for field in df.schema.fields:
+        if field.name == col:
+            st = field.dataType.simpleString()
+            if st == "bigint":
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+            elif st == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — not a Spark type.  A
-        # session built without the legacy conf would throw
-        # PARQUET_TYPE_ILLEGAL at read time, so set it defensively here
-        # (it is a runtime-settable SQL conf); the ns→us conversion below
-        # then produces a normal timestamp column.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (not a Spark
+        # type — read as ns-longs via the legacy conf, set defensively here
+        # since it is runtime-settable) and as naive timestamp[us] (which
+        # Spark infers as TIMESTAMP_NTZ unless inferTimestampNTZ is off).
+        # Both paths normalize below; the conf also guards sessions built
+        # without ``get_spark``.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS) → read as ns-longs
-    # (legacy.parquet.nanosAsLong) and floor-converted to a microsecond
-    # timestamp, matching DuckDB's CAST(ts_ns AS TIMESTAMP) truncation.
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_ts(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

@@ -45,9 +45,13 @@ def read_events_stream(
     narrows it to matching files — so a single table file inside a shared
     directory streams without any staging copy.
     """
-    # events.ts is TIMESTAMP(NANOS) parquet — ensure the legacy read path
-    # regardless of how the caller's session was built (runtime-settable).
+    # events.ts has shipped as TIMESTAMP(NANOS) parquet (needs the legacy
+    # ns-as-long read path) and as naive timestamp[us] (infers TIMESTAMP_NTZ
+    # unless disabled) — set both confs regardless of how the caller's
+    # session was built (runtime-settable), then normalize like the batch
+    # loader so the watermark always sees a plain ``timestamp``.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     probe = spark.read
     if glob_filter:
         probe = probe.option("pathGlobFilter", glob_filter)
@@ -57,10 +61,21 @@ def read_events_stream(
         reader = reader.option("pathGlobFilter", glob_filter)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(path)
-    for field in schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(reader.parquet(path))
+
+
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Streaming twin of ``sources.tables._normalize_ts``: ns-longs →
+    microsecond timestamp; TIMESTAMP_NTZ → session-tz timestamp (exact
+    under the engine's pinned UTC tz).  ``withWatermark`` requires a plain
+    ``timestamp`` column, so every stateful op below normalizes first."""
+    for field in df.schema.fields:
+        if field.name == col:
+            st = field.dataType.simpleString()
+            if st == "bigint":
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+            elif st == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
@@ -77,9 +92,9 @@ def windowed_counts(
     stream at scale.  Works identically on a batch frame (watermark is a
     no-op there), which the tests exploit for oracle checks.
     """
-    src = events
-    if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+    src = _normalize_ts(events)
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
     return (
         src.groupBy(F.window("ts", window).alias("w"), F.col(by))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -91,6 +106,7 @@ def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "1 day") -
     """Exactly-once projection of duplicate events: state = key set within
     the watermark horizon (``dropDuplicatesWithinWatermark`` semantics —
     unbounded exact dedup is impossible on an infinite stream)."""
+    events = _normalize_ts(events)
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
@@ -112,9 +128,9 @@ def sessionize(
     bounded drains (state-store commit cost is per partition per batch);
     leave ``None`` on large continuous jobs so the shuffle default governs.
     """
-    src = events
-    if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+    src = _normalize_ts(events)
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
     if state_partitions:
         src = src.repartition(state_partitions, "user_id")
     return (

@@ -73,27 +73,41 @@ def test_no_cartesian_products_anywhere(spark):
     """No registry query may contain an unconstrained CartesianProduct —
     the one O(n²) plan shape that cannot survive 100 TB.  (Broadcast
     nested-loop against a tiny broadcast side is acceptable.)"""
-    offenders = []
+    offenders, build_errors = [], []
     for name, q in sorted(REGISTRY.items()):
         if name.startswith("stream_"):
             continue  # streaming plans materialize through a sink
-        plan = plan_of(q.fn(spark, SF_DIR), "simple")
+        try:
+            plan = plan_of(q.fn(spark, SF_DIR), "simple")
+        except Exception as exc:  # keep scanning: one broken query must not
+            build_errors.append(f"{name}: {type(exc).__name__}: {exc}")
+            continue  # mask a cartesian elsewhere (round-4 lesson)
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"CartesianProduct in: {offenders}"
+    assert not build_errors, "queries failed to BUILD (not a plan-shape issue):\n" + "\n".join(
+        build_errors
+    )
 
 
 def test_no_row_at_a_time_python_udfs(spark):
     """Python must only appear Arrow-batched (MapInPandas / ArrowEvalPython)
     — BatchEvalPython (pickled row-at-a-time UDF) is banned engine-wide."""
-    offenders = []
+    offenders, build_errors = [], []
     for name, q in sorted(REGISTRY.items()):
         if name.startswith("stream_"):
             continue
-        plan = plan_of(q.fn(spark, SF_DIR), "simple")
+        try:
+            plan = plan_of(q.fn(spark, SF_DIR), "simple")
+        except Exception as exc:
+            build_errors.append(f"{name}: {type(exc).__name__}: {exc}")
+            continue
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python UDF in: {offenders}"
+    assert not build_errors, "queries failed to BUILD (not a plan-shape issue):\n" + "\n".join(
+        build_errors
+    )
 
 
 def test_exchange_reuse_in_selfjoin(spark):

@@ -1,0 +1,113 @@
+"""Round-5 operator tests: merge_asof differential vs pandas (the
+authoritative as-of semantics), plan-shape asserts for the union+window
+strategy, and local oracle checks for the five new registry queries."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dask_expr_rapids_spark.operators.asof import merge_asof
+from dask_expr_rapids_spark.plans import plan_of
+from dask_expr_rapids_spark.queries import REGISTRY
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+
+def _asof_fixture():
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 3],
+            "t": [10, 20, 30, 5, 50, 7],
+            "lv": ["a", "b", "c", "d", "e", "f"],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 4],
+            "t": [15, 20, 40, 1],
+            "rv": [1.5, 2.0, 4.0, 9.9],
+        }
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_merge_asof_matches_pandas(spark, direction, exact):
+    left, right = _asof_fixture()
+    expected = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("t"),
+        on="t",
+        by="k",
+        direction=direction,
+        allow_exact_matches=exact,
+    ).sort_values(["k", "t"])
+
+    got = (
+        merge_asof(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t",
+            by="k",
+            direction=direction,
+            allow_exact_matches=exact,
+        )
+        .toPandas()
+        .sort_values(["k", "t"])
+    )
+    exp = list(zip(expected["k"], expected["t"], expected["lv"], expected["rv"]))
+    act = list(zip(got["k"], got["t"], got["lv"], got["asof_rv"]))
+
+    def norm(rows):
+        return [(k, t, lv, None if pd.isna(rv) else rv) for k, t, lv, rv in rows]
+
+    assert norm(act) == norm(exp), f"{direction}/{exact}: {norm(act)} != {norm(exp)}"
+
+
+def test_merge_asof_single_shuffle_no_join(spark):
+    """The scale contract: NO join node at all (union+window), so hot keys
+    cannot amplify — one Exchange on the by-key, one Window."""
+    left, right = _asof_fixture()
+    df = merge_asof(
+        spark.createDataFrame(left), spark.createDataFrame(right), on="t", by="k"
+    )
+    plan = plan_of(df, "simple")
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_asof_rejects_bad_direction(spark):
+    left, right = _asof_fixture()
+    with pytest.raises(ValueError, match="direction"):
+        merge_asof(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="t", by="k", direction="nearest",
+        )
+
+
+ROUND5_QUERIES = [
+    "asof_join_click_purchase",
+    "unpivot_lineitem_amounts",
+    "gapfill_hourly_event_counts",
+    "histogram_order_totals",
+    "listagg_nations_by_region",
+]
+
+
+@pytest.mark.parametrize("name", ROUND5_QUERIES)
+def test_round5_queries_match_oracle(spark, oracle, name):
+    q = REGISTRY[name]
+    assert q.sql is not None
+    assert_matches_oracle(q.fn(spark, SF_DIR), oracle, q.sql, name)
+
+
+def test_gapfill_has_zero_rows(spark):
+    """The spine must actually fill gaps: at sf0.001 (1000 events over a
+    month = 720 hourly buckets) some hours are empty."""
+    pdf = REGISTRY["gapfill_hourly_event_counts"].fn(spark, SF_DIR).toPandas()
+    assert (pdf["n_events"] == 0).any(), "no empty hours — gap-fill untestable here"
+    assert len(pdf) == pdf["hour"].nunique()
