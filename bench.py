@@ -35,6 +35,9 @@ HEADLINE = [
     "resample_hourly_events",
     "rolling_mean_7",
     "cumsum_user_value",
+    "asof_join_click_purchase",
+    # semi-structured
+    "json_props_extract_agg",
     # LLM-data extensions
     "dedup_exact_clusters",
     "dedup_neardup_minhash_lsh",

@@ -194,3 +194,36 @@ def listagg_nations_by_region(spark, sf_dir):
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured extraction: events.props is a JSON string column (the
+# shape every log/clickstream pipeline carries).  from_json with an
+# EXPLICIT schema keeps extraction JVM-side and lets Catalyst prune — at
+# 100 TB, schema-on-read inference or a Python json.loads loop would both
+# be disqualifying.  Registered past the 50-query driver window (local
+# oracle covers it; rotate into the window next round).
+# --------------------------------------------------------------------------
+@register(
+    "json_props_extract_agg",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_props_extract_agg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        e.select((k % 10).alias("k_mod"), "user_id", "value")
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+    )

@@ -33,6 +33,9 @@ N_DOCS = 50_000
 N_VECS = 20_000
 SEED = 1042
 
+N_EVENTS = 1_000_000
+N_USERS = 15_000
+
 HEADLINE = [
     "dedup_exact_clusters",
     "dedup_exact_summary",
@@ -44,6 +47,13 @@ HEADLINE = [
     "ann_bruteforce_cosine_topk",
     "ann_ivf_cosine_topk",
     "embedding_centroids",
+    # time-semantics set (events 10×: rows AND user cardinality scale
+    # together, as a real clickstream would)
+    "asof_join_click_purchase",
+    "gapfill_hourly_event_counts",
+    "rolling_time_5min",
+    "json_props_extract_agg",
+    "stream_sessionize_users",
 ]
 
 
@@ -123,16 +133,43 @@ def make_embeddings(rng: np.random.Generator) -> None:
     pq.write_table(tbl, os.path.join(OUT, "embeddings.parquet"))
 
 
+def make_events(rng: np.random.Generator) -> None:
+    """10× the driver's sf0.1 events table, same schema/statistics: 1M rows,
+    15k users (both axes scale — a bigger clickstream has more users, not
+    denser ones), one month span, 5 uniform event types, JSON props.
+    Written as naive timestamp[us] parquet — the driver's CURRENT events
+    encoding — so the rehearsal also exercises the NTZ normalization path."""
+    start_us = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = np.sort(start_us + (rng.random(N_EVENTS) * span_us).astype("int64"))
+    types = np.array(["click", "purchase", "error", "signup", "view"])
+    etype = types[rng.integers(0, len(types), size=N_EVENTS)]
+    k = rng.integers(0, 100, size=N_EVENTS)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(N_EVENTS), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, N_USERS, size=N_EVENTS), pa.int64()),
+            "event_type": pa.array(etype.tolist(), pa.string()),
+            "value": pa.array(np.round(rng.random(N_EVENTS) * 560, 2), pa.float64()),
+            "props": pa.array([f'{{"k": {v}}}' for v in k], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(OUT, "events.parquet"))
+
+
 def main() -> None:
     if not (
         os.path.exists(os.path.join(OUT, "documents.parquet"))
         and os.path.exists(os.path.join(OUT, "embeddings.parquet"))
+        and os.path.exists(os.path.join(OUT, "events.parquet"))
     ):
         os.makedirs(OUT, exist_ok=True)
         rng = np.random.default_rng(SEED)
         t0 = time.time()
         make_documents(rng)
         make_embeddings(rng)
+        make_events(rng)
         print(f"generated sf1 data in {time.time() - t0:.1f}s -> {OUT}")
 
     from dask_expr_rapids_spark.queries import queries

@@ -95,6 +95,7 @@ ROUND5_QUERIES = [
     "gapfill_hourly_event_counts",
     "histogram_order_totals",
     "listagg_nations_by_region",
+    "json_props_extract_agg",
 ]
 
 
