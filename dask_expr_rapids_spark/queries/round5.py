@@ -227,3 +227,69 @@ def json_props_extract_agg(spark, sf_dir):
             F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-mitigation operators (operators/skew.py), driver-verified: salting
+# is semantics-preserving, so the oracle is the PLAIN join/groupBy SQL —
+# the hash match proves the salted plan computes the identical result
+# while spreading any hot key over N reducers.
+# --------------------------------------------------------------------------
+@register(
+    "skew_salted_join_revenue",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def skew_salted_join_revenue(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(l, o, on="l_orderkey", buckets=8)
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "skew_salted_groupby_users",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_groupby_users(spark, sf_dir):
+    from ..operators.skew import salted_groupby_agg
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_groupby_agg(
+        e,
+        ["event_type"],
+        stage1={"n_events": F.count(F.lit(1)), "users": F.collect_set("user_id")},
+        stage2={
+            "n_events": F.sum("n_events"),
+            "n_users": F.size(F.array_distinct(F.flatten(F.collect_list("users")))).cast(
+                "bigint"
+            ),
+        },
+        salt_cols=["event_id"],
+        buckets=16,
+    )

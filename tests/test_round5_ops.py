@@ -96,6 +96,8 @@ ROUND5_QUERIES = [
     "histogram_order_totals",
     "listagg_nations_by_region",
     "json_props_extract_agg",
+    "skew_salted_join_revenue",
+    "skew_salted_groupby_users",
 ]
 
 
