@@ -266,6 +266,104 @@ def skew_salted_join_revenue(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Train/val/test split assignment — the canonical first step of a training
+# pipeline.  Deterministic md5-uniform on doc_id (same arithmetic as
+# operators/sampling.py::hash_uniform): stable under repartition, identical
+# across engines, no RNG.  90/5/5.
+# --------------------------------------------------------------------------
+_U8_DOC_SQL = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ") / 4294967296.0"
+)
+
+
+@register(
+    "dataset_split_assign",
+    f"""
+    WITH rated AS (SELECT doc_id, n_chars, {_U8_DOC_SQL} AS u FROM documents)
+    SELECT CASE WHEN u < 0.90 THEN 'train'
+                WHEN u < 0.95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM rated
+    GROUP BY 1
+    """,
+)
+def dataset_split_assign(spark, sf_dir):
+    from ..operators.sampling import hash_uniform
+
+    d = load_table(spark, sf_dir, "documents")
+    u = hash_uniform(F.col("doc_id"))
+    split = (
+        F.when(u < 0.90, "train").when(u < 0.95, "val").otherwise("test").alias("split")
+    )
+    return (
+        d.select(split, "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: find training docs sharing any word-5-gram
+# with the eval set (doc_id % 50 == 0 stands in for a benchmark suite).
+# Scale shape: the eval gram set is benchmark-sized (MBs, not TBs) →
+# DISTINCT then BROADCAST to the training-gram side, so the only shuffle
+# is the final per-doc count agg — no O(train × eval) pair explosion.
+# --------------------------------------------------------------------------
+@register(
+    "decontaminate_train_eval",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 4),
+                                   i -> array_to_string(ws[i:i+4], ' '))) AS gram
+      FROM toks
+      WHERE len(ws) >= 5
+    ),
+    ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+    tr AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 50 <> 0)
+    SELECT tr.doc_id, COUNT(*) AS n_shared_grams
+    FROM tr JOIN ev ON tr.gram = ev.gram
+    GROUP BY tr.doc_id
+    """,
+)
+def decontaminate_train_eval(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    ws = F.split(norm, " ")
+    grams_col = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 4),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(5))),
+    )
+    grams = (
+        d.filter(F.size(ws) >= 5)
+        .select("doc_id", F.explode(grams_col).alias("gram"))
+    )
+    ev = grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    tr = grams.filter(F.col("doc_id") % 50 != 0).distinct()
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 @register(
     "skew_salted_groupby_users",
     """

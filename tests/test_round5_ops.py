@@ -98,7 +98,17 @@ ROUND5_QUERIES = [
     "json_props_extract_agg",
     "skew_salted_join_revenue",
     "skew_salted_groupby_users",
+    "dataset_split_assign",
+    "decontaminate_train_eval",
 ]
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """Scale contract: the benchmark-sized eval gram set must reach the
+    training side as a broadcast — a shuffle join keyed on gram text would
+    move the full training gram stream."""
+    plan = plan_of(REGISTRY["decontaminate_train_eval"].fn(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
 @pytest.mark.parametrize("name", ROUND5_QUERIES)
