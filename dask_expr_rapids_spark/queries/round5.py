@@ -364,6 +364,97 @@ def decontaminate_train_eval(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Range (interval) join via bucketing (operators/rangejoin.py): each user's
+# first active hour is an interval; count the events inside it.  The
+# bucketed equi-join replaces the nested-loop range join Spark would
+# otherwise pick — O(points + intervals·width/bucket), never O(n·m).
+# --------------------------------------------------------------------------
+@register(
+    "range_join_first_hour_events",
+    """
+    WITH b AS (SELECT user_id, MIN(ts) AS lo FROM events GROUP BY user_id)
+    SELECT e.user_id,
+           COUNT(*) AS n_first_hour,
+           CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN b ON e.user_id = b.user_id
+          AND e.ts >= b.lo AND e.ts <= b.lo + INTERVAL 1 HOUR
+    GROUP BY e.user_id
+    """,
+)
+def range_join_first_hour_events(spark, sf_dir):
+    from ..operators.rangejoin import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    intervals = e.groupBy("user_id").agg(F.min("ts").alias("lo")).withColumn(
+        "hi", F.col("lo") + F.expr("INTERVAL 1 HOUR")
+    )
+    joined = interval_join(
+        e.select("user_id", "ts", "value"),
+        intervals,
+        point_ts="ts",
+        lo="lo",
+        hi="hi",
+        bucket_seconds=3600,
+        extra_keys=["user_id"],
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_first_hour"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style multi-grain rollup: aggregate ONCE at the fine grain,
+# derive the coarse grain from the fine aggregate (not from raw data) —
+# one scan of the fact table feeds every grain, the re-aggregation input
+# is bucket-sized.  count/sum re-aggregate losslessly; decimal sums keep
+# the coarse sum bit-exact with a direct daily aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "time_rollup_multigrain",
+    f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(30,8))) AS sum_dec
+        FROM events GROUP BY 1
+    )
+    SELECT 'hour' AS grain, strftime(bucket, '{_TS_FMT_DUCK}') AS bucket,
+           n_events, CAST(sum_dec AS DOUBLE) AS sum_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', bucket), '{_TS_FMT_DUCK}'),
+           CAST(SUM(n_events) AS BIGINT), CAST(SUM(sum_dec) AS DOUBLE)
+    FROM hourly GROUP BY 2
+    """,
+)
+def time_rollup_multigrain(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).alias("sum_dec"),
+    )
+    hour_out = hourly.select(
+        F.lit("hour").alias("grain"),
+        F.date_format("bucket", _TS_FMT_SPARK).alias("bucket"),
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+    day_out = (
+        hourly.groupBy(F.date_trunc("day", "bucket").alias("b"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_dec").alias("sum_dec"))
+        .select(
+            F.lit("day").alias("grain"),
+            F.date_format("b", _TS_FMT_SPARK).alias("bucket"),
+            "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
+    return hour_out.unionByName(day_out)
+
+
 @register(
     "skew_salted_groupby_users",
     """

@@ -100,7 +100,55 @@ ROUND5_QUERIES = [
     "skew_salted_groupby_users",
     "dataset_split_assign",
     "decontaminate_train_eval",
+    "range_join_first_hour_events",
+    "time_rollup_multigrain",
 ]
+
+
+def test_interval_join_matches_naive(spark):
+    """Bucketed interval join == naive range-predicate join, including
+    intervals spanning multiple buckets and points on both boundaries."""
+    import datetime as dt
+
+    from dask_expr_rapids_spark.operators.rangejoin import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    pts = pd.DataFrame(
+        {
+            "pid": range(8),
+            "t": [base + dt.timedelta(minutes=m) for m in [0, 30, 60, 90, 119, 120, 121, 500]],
+        }
+    )
+    ivs = pd.DataFrame(
+        {
+            "iid": [1, 2, 3],
+            "lo": [base, base + dt.timedelta(minutes=60), base + dt.timedelta(minutes=400)],
+            "hi": [
+                base + dt.timedelta(minutes=120),  # spans 3 hourly buckets
+                base + dt.timedelta(minutes=61),
+                base + dt.timedelta(minutes=401),  # matches nothing
+            ],
+        }
+    )
+    spts, sivs = spark.createDataFrame(pts), spark.createDataFrame(ivs)
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(spts, sivs, "t", "lo", "hi", bucket_seconds=3600).collect()
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in spts.join(sivs, (spts.t >= sivs.lo) & (spts.t <= sivs.hi)).collect()
+    )
+    assert got == naive and len(got) > 0, (got, naive)
+
+
+def test_interval_join_rejects_outer(spark):
+    from dask_expr_rapids_spark.operators.rangejoin import interval_join
+
+    df = spark.range(1).select(F.current_timestamp().alias("t"))
+    with pytest.raises(ValueError, match="inner"):
+        interval_join(df, df.select(F.col("t").alias("lo"), F.col("t").alias("hi")),
+                      "t", "lo", "hi", how="left")
 
 
 def test_decontaminate_broadcasts_eval_grams(spark):
