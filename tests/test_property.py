@@ -86,3 +86,108 @@ def test_sort_drop_duplicates_matches_pandas(spark, pdf):
     got = f.drop_duplicates(subset="b").to_pandas().sort_index()
     want = pdf.drop_duplicates(subset="b")
     pd.testing.assert_frame_equal(got[["a", "b"]], want, check_dtype=False)
+
+
+# --------------------------------------------------------------------------
+# Round-5 operators: merge_asof and interval_join under random data.
+# Integer "times" keep tie/boundary cases frequent — exactly where the
+# union+window side-ordering and the bucket-boundary arithmetic can drift
+# from the authoritative semantics.
+# --------------------------------------------------------------------------
+@st.composite
+def asof_inputs(draw):
+    nl = draw(st.integers(min_value=1, max_value=25))
+    nr = draw(st.integers(min_value=1, max_value=25))
+    t = st.integers(min_value=0, max_value=30)
+    k = st.integers(min_value=0, max_value=3)
+    left = pd.DataFrame(
+        {
+            "k": draw(st.lists(k, min_size=nl, max_size=nl)),
+            "t": draw(st.lists(t, min_size=nl, max_size=nl)),
+        }
+    )
+    left["lid"] = range(nl)
+    right = pd.DataFrame(
+        {
+            "k": draw(st.lists(k, min_size=nr, max_size=nr)),
+            "t": draw(st.lists(t, min_size=nr, max_size=nr)),
+        }
+    )
+    # pandas merge_asof requires unique (k, t) on the right for a stable
+    # answer; dedup so the expected value is well-defined in BOTH engines
+    right = right.drop_duplicates(["k", "t"]).reset_index(drop=True)
+    right["rv"] = np.arange(len(right), dtype="float64")
+    return left, right
+
+
+@given(data=asof_inputs(), direction=st.sampled_from(["backward", "forward"]),
+       exact=st.booleans())
+@_settings
+def test_merge_asof_property_matches_pandas(spark, data, direction, exact):
+    from dask_expr_rapids_spark.operators.asof import merge_asof
+
+    left, right = data
+    want = pd.merge_asof(
+        left.sort_values(["t", "lid"]),
+        right.sort_values("t"),
+        on="t",
+        by="k",
+        direction=direction,
+        allow_exact_matches=exact,
+    ).sort_values("lid")
+    got = (
+        merge_asof(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t",
+            by="k",
+            direction=direction,
+            allow_exact_matches=exact,
+        )
+        .toPandas()
+        .sort_values("lid")
+    )
+    exp = [(r.lid, None if pd.isna(r.rv) else r.rv) for r in want.itertuples()]
+    act = [(r.lid, None if pd.isna(r.asof_rv) else r.asof_rv) for r in got.itertuples()]
+    assert act == exp, f"{direction}/{exact}:\n{act}\n{exp}"
+
+
+@st.composite
+def interval_inputs(draw):
+    np_ = draw(st.integers(min_value=1, max_value=20))
+    ni = draw(st.integers(min_value=1, max_value=8))
+    t = st.integers(min_value=0, max_value=10_000)  # seconds
+    pts = pd.DataFrame({"pid": range(np_), "sec": draw(st.lists(t, min_size=np_, max_size=np_))})
+    los = draw(st.lists(t, min_size=ni, max_size=ni))
+    widths = draw(st.lists(st.integers(min_value=0, max_value=5000), min_size=ni, max_size=ni))
+    ivs = pd.DataFrame({"iid": range(ni), "lo_s": los, "hi_s": [l + w for l, w in zip(los, widths)]})
+    return pts, ivs
+
+
+@given(data=interval_inputs(), bucket=st.sampled_from([60, 600, 3600]))
+@_settings
+def test_interval_join_property_matches_naive(spark, data, bucket):
+    from pyspark.sql import functions as F
+
+    from dask_expr_rapids_spark.operators.rangejoin import interval_join
+
+    pts, ivs = data
+    spts = spark.createDataFrame(pts).select(
+        "pid", F.timestamp_seconds("sec").alias("t")
+    )
+    sivs = spark.createDataFrame(ivs).select(
+        "iid",
+        F.timestamp_seconds("lo_s").alias("lo"),
+        F.timestamp_seconds("hi_s").alias("hi"),
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(spts, sivs, "t", "lo", "hi", bucket_seconds=bucket).collect()
+    )
+    want = sorted(
+        (p.pid, i.iid)
+        for p in pts.itertuples()
+        for i in ivs.itertuples()
+        if i.lo_s <= p.sec <= i.hi_s
+    )
+    assert got == want
