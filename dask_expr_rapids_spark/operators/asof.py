@@ -49,10 +49,18 @@ def merge_asof(
     Right payload columns (everything except ``by``) come back prefixed
     with ``right_prefix`` to avoid collisions; the matched right ``on``
     value is ``{right_prefix}{on}``.
+
+    Null semantics (pandas ``merge_asof`` REJECTS nulls; a distributed
+    engine must define them instead): right rows with null ``on`` are
+    dropped (they can never legitimately match), left rows with null
+    ``on`` survive with a null match (nulls-first ordering keeps them
+    ahead of every right row in BOTH directions), and null ``by`` keys
+    group together (Spark partitioning semantics).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by_cols = [by] if isinstance(by, str) else list(by or [])
+    right = right.filter(F.col(on).isNotNull())
 
     payload_cols = [c for c in right.columns if c not in by_cols]
     out_payload = [f"{right_prefix}{c}" for c in payload_cols]
@@ -80,7 +88,12 @@ def merge_asof(
     unioned = tagged_right.select(*cols_order).unionByName(tagged_left.select(*cols_order))
 
     asc = direction == "backward"
-    order = [F.col(on).asc() if asc else F.col(on).desc(), F.col(_SIDE).asc()]
+    # nulls FIRST in both directions: a null-`on` left row must precede
+    # every (non-null) right row so its carried payload stays null
+    order = [
+        F.col(on).asc_nulls_first() if asc else F.col(on).desc_nulls_first(),
+        F.col(_SIDE).asc(),
+    ]
     w = (
         Window.partitionBy(*by_cols)
         .orderBy(*order)

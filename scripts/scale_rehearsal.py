@@ -54,6 +54,11 @@ HEADLINE = [
     "rolling_time_5min",
     "json_props_extract_agg",
     "stream_sessionize_users",
+    "range_join_first_hour_events",
+    "time_rollup_multigrain",
+    # training-pipeline set (documents 10×)
+    "dataset_split_assign",
+    "decontaminate_train_eval",
 ]
 
 

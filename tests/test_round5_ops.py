@@ -80,6 +80,28 @@ def test_merge_asof_single_shuffle_no_join(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_merge_asof_null_on_gets_no_match(spark, direction):
+    """pandas rejects null `on`; the engine defines them: null-`on` left
+    rows survive unmatched in BOTH directions (the forward direction is
+    the trap — default desc ordering would put nulls last, where the
+    window sees every right row), and null-`on` right rows match nothing."""
+    left = pd.DataFrame({"k": [1, 1, 1], "t": [10.0, None, 30.0], "lid": [0, 1, 2]})
+    right = pd.DataFrame({"k": [1, 1], "t": [20.0, None], "rv": [5.0, 9.9]})
+    got = (
+        merge_asof(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="t", by="k", direction=direction,
+        )
+        .toPandas()
+        .set_index("lid")
+    )
+    assert pd.isna(got.loc[1, "asof_rv"]), f"null-on left row matched: {got}"
+    assert 9.9 not in set(got["asof_rv"].dropna()), f"null-on right row leaked: {got}"
+    matched = got.loc[0 if direction == "forward" else 2, "asof_rv"]
+    assert matched == 5.0, got
+
+
 def test_merge_asof_rejects_bad_direction(spark):
     left, right = _asof_fixture()
     with pytest.raises(ValueError, match="direction"):
