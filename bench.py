@@ -36,8 +36,13 @@ HEADLINE = [
     "rolling_mean_7",
     "cumsum_user_value",
     "asof_join_click_purchase",
+    "range_join_first_hour_events",
+    "time_rollup_multigrain",
     # semi-structured
     "json_props_extract_agg",
+    # training-pipeline
+    "dataset_split_assign",
+    "decontaminate_train_eval",
     # LLM-data extensions
     "dedup_exact_clusters",
     "dedup_neardup_minhash_lsh",

@@ -216,7 +216,12 @@ def listagg_nations_by_region(spark, sf_dir):
     """,
 )
 def json_props_extract_agg(spark, sf_dir):
-    e = load_table(spark, sf_dir, "events")
+    from ..sources.tables import spread
+
+    # JSON parsing is the CPU cost; a sub-core-count scan (events parquet
+    # is one ~40 MB file at rehearsal scale) would serialize it — spread is
+    # a no-op once the scan yields ≥cores splits
+    e = spread(load_table(spark, sf_dir, "events"))
     k = F.from_json(F.col("props"), "k BIGINT")["k"]
     return (
         e.select((k % 10).alias("k_mod"), "user_id", "value")
