@@ -70,31 +70,39 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        fn(spark, sf_dir).count()  # warm-up (also primes file listing cache)
-        times = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            times.append(time.perf_counter() - t0)
-        results[name] = round(statistics.median(times), 4)
+        # fault isolation (round-4 lesson: ONE query's AnalysisException
+        # killed the whole run and the round recorded no numbers at all) —
+        # an erroring query is reported, the other 26 still measure
+        try:
+            fn = REGISTRY[name].fn
+            fn(spark, sf_dir).count()  # warm-up (also primes file listing cache)
+            times = []
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                times.append(time.perf_counter() - t0)
+            results[name] = round(statistics.median(times), 4)
+        except Exception as exc:  # noqa: BLE001 — report, don't die
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
     from dask_expr_rapids_spark.queries.registry import release_caches
 
     release_caches()  # scoped caches from the last query
 
-    print(
-        json.dumps(
-            {
-                "metric": "sum_of_median_query_seconds",
-                "value": round(sum(results.values()), 4),
-                "unit": "sec",
-                "queries": results,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "sum_of_median_query_seconds",
+        "value": round(sum(results.values()), 4),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors  # value covers measured queries only
+    print(json.dumps(out))
+    sys.exit(1 if errors else 0)
 
 
 if __name__ == "__main__":
