@@ -469,6 +469,50 @@ def time_rollup_multigrain(spark, sf_dir):
     return hour_out.unionByName(day_out)
 
 
+# --------------------------------------------------------------------------
+# Stream-stream join (streaming/ops.py::stream_join_within): click and
+# purchase STREAMS joined on user within a 1-hour lookback, drained and
+# compared to the batch inequality join.  The time bound is what lets the
+# engine evict buffered rows once both watermarks pass — the difference
+# between bounded state and an unbounded-memory join on an infinite
+# stream.  Pair set is order-independent, so append-mode drain is exact.
+# --------------------------------------------------------------------------
+@register(
+    "stream_join_click_purchase",
+    """
+    SELECT c.user_id,
+           c.event_id AS l_event_id,
+           p.event_id AS r_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+    """,
+)
+def stream_join_click_purchase(spark, sf_dir):
+    import itertools
+
+    from ..streaming.ops import read_events_stream, run_available_now, stream_join_within
+
+    if not hasattr(stream_join_click_purchase, "_sink_counter"):
+        stream_join_click_purchase._sink_counter = itertools.count()
+    stream = read_events_stream(spark, sf_dir, glob_filter="events.parquet")
+    clicks = stream.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = stream_join_within(
+        clicks, purchases, key="user_id", lookback="1 hour", watermark="36500 days"
+    )
+    sink = f"stream_join_cp_{next(stream_join_click_purchase._sink_counter)}"
+    out = run_available_now(joined, sink, output_mode="append")
+    return out.select(
+        "user_id",
+        F.col("l_event_id"),
+        F.col("r_event_id"),
+    )
+
+
 @register(
     "skew_salted_groupby_users",
     """

@@ -149,6 +149,51 @@ def sessionize(
     )
 
 
+def stream_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner join: each left row matches right rows with the
+    same ``key`` whose event time falls in ``[left.ts - lookback,
+    left.ts]``.
+
+    The time-range predicate is MANDATORY state hygiene, not a feature
+    flag: it lets Structured Streaming compute, from both watermarks, when
+    a buffered row can never match again and evict it — an unbounded
+    stream-stream join without it accumulates state forever.  Batch frames
+    take the identical join (watermarks are meaningless there), which is
+    how the tests oracle-check the streaming result.
+
+    Both inputs must carry ``key`` and ``ts``.  Output columns are
+    ``key`` + every non-key column of each side under its prefix.
+    """
+    lcols = [c for c in left.columns if c != key]
+    rcols = [c for c in right.columns if c != key]
+    l = _normalize_ts(left).select(
+        F.col(key), *[F.col(c).alias(f"{left_prefix}{c}") for c in lcols]
+    )
+    r = _normalize_ts(right).select(
+        F.col(key).alias("__rkey__"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in rcols],
+    )
+    if l.isStreaming:
+        l = l.withWatermark(f"{left_prefix}ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark(f"{right_prefix}ts", watermark)
+    lts, rts = F.col(f"{left_prefix}ts"), F.col(f"{right_prefix}ts")
+    cond = (
+        (F.col(key) == F.col("__rkey__"))
+        & (rts >= lts - F.expr(f"INTERVAL {lookback}"))
+        & (rts <= lts)
+    )
+    return l.join(r, cond, "inner").drop("__rkey__")
+
+
 #: output schema of :func:`running_user_totals`.
 _RUNNING_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 _STATE_SCHEMA = "n bigint, total double"

@@ -109,3 +109,37 @@ def test_running_user_totals_stateful(spark, events_dir):
         assert abs(f[uid]["total_value"] - b[uid]["total_value"]) <= 1e-6 * max(
             1.0, abs(b[uid]["total_value"])
         )
+
+
+def test_stream_join_within_batch_parity(spark):
+    """stream_join_within on BATCH frames == plain inequality join; the
+    streaming path of the same operator is oracle-checked end-to-end by
+    the stream_join_click_purchase registry query."""
+    from pyspark.sql import functions as F
+
+    from dask_expr_rapids_spark.streaming.ops import stream_join_within
+
+    e = load_table(spark, SF_DIR, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    got = sorted(
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in stream_join_within(clicks, purchases, key="user_id").collect()
+    )
+    c, p = clicks.alias("c"), purchases.alias("p")
+    naive = sorted(
+        (r.uid, r.cid, r.pid)
+        for r in c.join(
+            p,
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("p.ts") <= F.col("c.ts")),
+        )
+        .select(
+            F.col("c.user_id").alias("uid"),
+            F.col("c.event_id").alias("cid"),
+            F.col("p.event_id").alias("pid"),
+        )
+        .collect()
+    )
+    assert got == naive and len(got) > 0
