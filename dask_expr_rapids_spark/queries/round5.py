@@ -15,6 +15,8 @@ output is sorted before concatenation.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import functions as F
 
 from ..operators.asof import merge_asof
@@ -24,6 +26,7 @@ from .registry import register
 _DEC = "decimal(30,8)"
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+_sink_counter = itertools.count()
 
 
 # --------------------------------------------------------------------------
@@ -490,12 +493,8 @@ def time_rollup_multigrain(spark, sf_dir):
     """,
 )
 def stream_join_click_purchase(spark, sf_dir):
-    import itertools
-
     from ..streaming.ops import read_events_stream, run_available_now, stream_join_within
 
-    if not hasattr(stream_join_click_purchase, "_sink_counter"):
-        stream_join_click_purchase._sink_counter = itertools.count()
     stream = read_events_stream(spark, sf_dir, glob_filter="events.parquet")
     clicks = stream.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
     purchases = stream.filter(F.col("event_type") == "purchase").select(
@@ -504,7 +503,7 @@ def stream_join_click_purchase(spark, sf_dir):
     joined = stream_join_within(
         clicks, purchases, key="user_id", lookback="1 hour", watermark="36500 days"
     )
-    sink = f"stream_join_cp_{next(stream_join_click_purchase._sink_counter)}"
+    sink = f"stream_join_cp_{next(_sink_counter)}"
     out = run_available_now(joined, sink, output_mode="append")
     return out.select(
         "user_id",
