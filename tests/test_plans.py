@@ -110,6 +110,24 @@ def test_no_row_at_a_time_python_udfs(spark):
     )
 
 
+def test_asof_query_single_shuffle_no_join(spark):
+    """The registry as-of query must keep the union+window shape: zero
+    join nodes (hot users cannot amplify), exactly one shuffle Exchange
+    (on the by-key) feeding one Window."""
+    plan = plan_of(REGISTRY["asof_join_click_purchase"].fn(spark, SF_DIR), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1
+
+
+def test_gapfill_broadcasts_spine_join(spark):
+    """The time spine is bounded by the time range, not the data volume —
+    its join against the hourly aggregate must broadcast, never shuffle
+    the aggregate to a spine-keyed exchange."""
+    plan = plan_of(REGISTRY["gapfill_hourly_event_counts"].fn(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_exchange_reuse_in_selfjoin(spark):
     """Self-join pipelines (minhash bands) must reuse the persisted/cached
     signature relation rather than recompute the full lineage twice."""
