@@ -349,15 +349,24 @@ def dedup_ngram_jaccard(spark, sf_dir):
     index = gp.select(
         F.col("doc_id").alias("id2"), F.explode("pgs").alias("pg"), F.col("lenband").alias("k")
     )
+    # merge hint: a hot prefix gram's posting list makes the per-key fanout
+    # large; sort-merge streams it (and spills) where a hash build of a
+    # skewed partition OOMed a task at the sf10 rehearsal.  The gset
+    # reattach joins get the same pin — gram arrays must never broadcast
+    # (corpus-scaling, and AQE's columnar size estimate is ~20× low).
     cand = (
-        probes.join(index, ["k", "pg"])
+        probes.join(index.hint("merge"), ["k", "pg"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .distinct()
     )
     pairs = cand.join(
-        gsets.select(F.col("doc_id").alias("id1"), F.col("g").alias("g1")), "id1"
-    ).join(gsets.select(F.col("doc_id").alias("id2"), F.col("g").alias("g2")), "id2")
+        gsets.select(F.col("doc_id").alias("id1"), F.col("g").alias("g1")).hint("shuffle_hash"),
+        "id1",
+    ).join(
+        gsets.select(F.col("doc_id").alias("id2"), F.col("g").alias("g2")).hint("shuffle_hash"),
+        "id2",
+    )
     inter = F.size(F.array_intersect("g1", "g2"))
     union = F.size("g1") + F.size("g2") - inter
     jac = inter.cast("double") / union.cast("double")
@@ -502,7 +511,10 @@ def dedup_embedding_cosine(spark, sf_dir):
     b = capped.select(
         F.col("vec_id").alias("id2"), F.col("qv").alias("q2"), "band", "bkey"
     )
-    pairs = a.join(b, ["band", "bkey"]).filter(F.col("id1") < F.col("id2"))
+    # shuffle_hash pin: both sides carry the quantized vector array and
+    # scale with the corpus — never eligible for broadcast (AQE's columnar
+    # size estimate undercounts array rows badly; see the minhash sf10 OOM)
+    pairs = a.join(b.hint("shuffle_hash"), ["band", "bkey"]).filter(F.col("id1") < F.col("id2"))
     dot = F.aggregate(
         F.zip_with("q1", "q2", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )

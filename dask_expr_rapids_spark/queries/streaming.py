@@ -92,10 +92,19 @@ def stream_sessionize_users(spark, sf_dir):
     or memory-sink accumulation anywhere in the path."""
     stream = _events_stream(spark, sf_dir)
     out_dir = tempfile.mkdtemp(prefix="spark_graft_sessions_")
+    # bounded drain → SIZED state fan-out: state-store commit cost is per
+    # partition per batch (argues for few partitions at small inputs), but
+    # each partition holds its keys' full session state in memory during
+    # the drain (8 fixed partitions OOMed the 10M-event sf10 rehearsal).
+    # ~4 MB of input parquet per state partition, floor 8, cap 512:
+    # sf0.1 (18 MB) keeps the 8 the bench budget was set with; sf10
+    # (185 MB) gets 46.  Driver-side file metadata only — no data read.
+    size_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    state_partitions = max(8, min(512, size_bytes // (4 << 20)))
     return run_available_now_to_files(
-        # bounded drain → small fixed state fan-out (8): state-store commit
-        # cost is per partition per batch and dominates at this result size
-        sessionize(stream, gap="30 minutes", watermark="2 hours", state_partitions=8),
+        sessionize(
+            stream, gap="30 minutes", watermark="2 hours", state_partitions=state_partitions
+        ),
         out_dir,
         output_mode="complete",
     )

@@ -352,8 +352,15 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
         part = sigs.select("doc_id", F.col(f"band{b}").alias("bkey"))
         bands = part if bands is None else bands.unionByName(part)
     a, bb = bands.alias("a"), bands.alias("b")
+    # every relation below scales with the corpus — pin shuffle joins so
+    # AQE can never promote one to broadcast (its estimate comes from
+    # compressed columnar bytes; the in-memory row build of a gset-carrying
+    # side is ~20× larger and killed an 8 GB driver at the sf10 rehearsal)
     cand = (
-        a.join(bb, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            bb.hint("shuffle_hash"),
+            (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
@@ -364,8 +371,8 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
         F.col("doc_id").alias("id2"), F.col("n").alias("n2"), F.col("gset").alias("gset2")
     )
     verified = (
-        cand.join(m1, "id1")
-        .join(m2, "id2")
+        cand.join(m1.hint("shuffle_hash"), "id1")
+        .join(m2.hint("shuffle_hash"), "id2")
         .withColumn("shared", F.size(F.array_intersect("gset1", "gset2")))
     )
     jac = F.col("shared").cast("double") / (
