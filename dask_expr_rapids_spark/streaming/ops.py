@@ -278,10 +278,15 @@ def run_available_now_to_files(
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        # a drained aggregate is small relative to its input — cap the file
-        # fan-out so the sink isn't dominated by per-file open/commit cost
+        # File-count hygiene WITHOUT a parallelism cap: a narrow coalesce
+        # to a small constant collapses the upstream stateful stage into
+        # that many tasks (sf10 lesson: fixed constants are scale bugs).
+        # Only fold down when the batch has a large fan-out; never below
+        # the upstream partitioning for small drains.
+        parts = batch_df.rdd.getNumPartitions()
+        sink_df = batch_df.coalesce(64) if parts > 64 else batch_df
         if output_mode == "append":
-            batch_df.coalesce(8).write.mode("append").parquet(out_dir)
+            sink_df.write.mode("append").parquet(out_dir)
             return
         if output_mode == "update" and batch_id > 0:
             raise RuntimeError(
@@ -291,7 +296,7 @@ def run_available_now_to_files(
                 "output_mode='complete' or a compacting sink keyed by "
                 "batch_id."
             )
-        batch_df.coalesce(8).write.mode("overwrite").parquet(out_dir)
+        sink_df.write.mode("overwrite").parquet(out_dir)
 
     q = (
         stream_df.writeStream.foreachBatch(_write)
