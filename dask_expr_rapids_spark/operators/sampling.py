@@ -34,6 +34,21 @@ def hash_uniform(key: Column) -> Column:
     )
 
 
+def hash_uniform_sql(key_sql: str) -> str:
+    """DuckDB/ANSI twin of :func:`hash_uniform` — digit-by-digit hex
+    decode of the first 8 md5 chars (no ``conv`` in DuckDB), divided by
+    2^32.  Same arithmetic, bit-identical doubles."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5(CAST({key_sql} AS VARCHAR)), {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ") / 4294967296.0"
+    )
+
+
 def hash_sample(df: DataFrame, key: str, rate) -> DataFrame:
     """Bernoulli sample at ``rate`` (a float or a per-row rate Column),
     keyed by ``key`` — a pure filter: no shuffle, no driver involvement,
