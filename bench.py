@@ -4,8 +4,11 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
 Protocol (BASELINE.md): warm SparkSession, per-query wall clock =
-median of 3 runs after 1 warm-up.  ``value`` is the sum of per-query
-medians (sec) — lower is better.
+median of 5 runs after 1 warm-up (raised from 3 in r5: at sf0.1 the
+queries are stage-barrier-bound, so a single multi-second JVM hiccup
+— codegen compile, old-gen collection — lands in 1-2 consecutive runs
+and a median of 3 records it; a median of 5 does not).  ``value`` is
+the sum of per-query medians (sec) — lower is better.
 """
 
 from __future__ import annotations
@@ -57,7 +60,7 @@ HEADLINE = [
     "stream_sessionize_users",
 ]
 
-N_RUNS = 3
+N_RUNS = 5
 
 
 def main() -> None:
@@ -69,9 +72,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from dask_expr_rapids_spark.queries.registry import release_caches
+
     results: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
+        # Measurement hygiene: drop the previous query's persisted blocks and
+        # let the JVM settle BEFORE timing, so one query's cache-release /
+        # old-gen churn doesn't land as a multi-second GC pause inside the
+        # next query's timed runs (observed: a 0.7 s query recording a 6.7 s
+        # median purely from its predecessor's heap churn).
+        release_caches()
+        spark.sparkContext._jvm.System.gc()
         # fault isolation (round-4 lesson: ONE query's AnalysisException
         # killed the whole run and the round recorded no numbers at all) —
         # an erroring query is reported, the other 26 still measure
@@ -87,8 +99,6 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report, don't die
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
-
-    from dask_expr_rapids_spark.queries.registry import release_caches
 
     release_caches()  # scoped caches from the last query
 

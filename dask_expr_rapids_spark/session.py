@@ -69,7 +69,11 @@ def get_spark(
         # ``unix_micros`` and ``withWatermark`` reject.  Read it as a
         # session-tz timestamp; exact under the pinned UTC tz above.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g: headroom for 32 concurrent local tasks so cache churn from a
+        # heavy query (dedup pipelines persist gram/band intermediates) does
+        # not push the old gen to the wall and tax the NEXT query with full
+        # GCs.  Cluster-representative (16-64 g/executor is the common band).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
