@@ -32,8 +32,10 @@ from . import window  # noqa: E402,F401
 #   * 7 round-6 queries (new this round — never driver-verified),
 #   * 13 round-5 queries (added after the r4 window was recorded; 8 of them
 #     fell outside the round-5 ordering's first 50),
+#   * 4 round-6 session-2 additions (TPC-H completions q11/q21, MinHash
+#     components/survivors — never driver-verified),
 #   * 5 round-3 queries never hash-verified by any driver window,
-#   * 25 of the round-2-window LLM-pipeline/breadth queries whose last
+#   * 21 of the round-2-window LLM-pipeline/breadth queries whose last
 #     driver verification predates three rounds of shared-machinery change.
 # Every query NOT in the window stays locally oracle-checked at sf0.001 by
 # tests/test_correctness.py (same compare, same DuckDB oracle); the
@@ -63,6 +65,11 @@ DRIVER_WINDOW: list[str] = [
     "time_rollup_multigrain",
     "stream_join_click_purchase",
     "skew_salted_groupby_users",
+    # TPC-H completions (new this round)
+    "q11_important_part_value",
+    "q21_waiting_suppliers",
+    "dedup_minhash_components",
+    "dedup_minhash_survivors",
     # round 3, never hash-verified by a driver window
     "timeseries_source_agg",
     "lazy_above_mean_orders",
@@ -88,13 +95,9 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_frame_stats",
     "stream_windowed_event_counts",
     "stream_sessionize_users",
-    "explode_doc_words",
-    "str_accessor_showcase",
     "dt_accessor_showcase",
     "grouping_sets_status_year",
     "window_fn_breadth",
-    "text_fingerprint_rolling_hash",
-    "frame_api_groupby_pipeline",
 ]
 
 assert len(DRIVER_WINDOW) == 50, f"window must be exactly 50, got {len(DRIVER_WINDOW)}"

@@ -249,8 +249,8 @@ _NEARDUP_SQL = f"""
     mh AS (
       SELECT doc_id,
            {_MINHASH_COLS_SQL},
-           COUNT(*) AS n,
-           list(g) AS gset
+           COUNT(DISTINCT g32) AS n,
+           list(DISTINCT g32) AS gset
       FROM grams GROUP BY doc_id
     ),
     sigs AS (SELECT doc_id, {_BAND_KEYS_SQL} FROM mh),
@@ -305,13 +305,17 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
             ).alias("g"),
         )
     )
-    # One shuffle computes the signature, the gram set (for candidate
+    # One shuffle computes the signature, the gram-hash set (for candidate
     # verification) and its size — min/collect_set are duplicate-insensitive
     # so no separate distinct() shuffle is needed, and downstream joins are
-    # all on n_docs-sized relations, never on exploded gram rows.  Docs are
-    # length-bounded, so collect_set stays small; for unbounded docs cap the
-    # shingle count upstream.  Persisted: three consumers (bands self-join,
-    # both sides of verification) would otherwise recompute the lineage.
+    # all on n_docs-sized relations, never on exploded gram rows.  The
+    # verification set holds the 32-bit gram hashes, not the gram strings:
+    # both engines derive g32 identically, so exact-jaccard-over-hashes is
+    # engine-agreed while the cached/shuffled payload is ~4× slimmer and
+    # array_intersect runs on longs.  Docs are length-bounded, so
+    # collect_set stays small; for unbounded docs cap the shingle count
+    # upstream.  Persisted: three consumers (bands self-join, both sides of
+    # verification) would otherwise recompute the lineage.
     g32 = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
     mh = (
         grams.withColumn("g32", g32)
@@ -323,7 +327,7 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
                 )
                 for j in range(_K)
             ],
-            F.collect_set("g").alias("gset"),
+            F.collect_set("g32").alias("gset"),
         )
         .withColumn("n", F.size("gset"))
     )
@@ -382,6 +386,92 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
 
     return verified.filter(jac >= 0.2).select(
         "id1", "id2", pround(jac, 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cluster labeling + survivor retention over the MinHash pair graph — the
+# two pipeline-level deliverables downstream of pair detection: "which docs
+# form one duplicate cluster" (O(k) per cluster, vs O(k²) pairs) and "keep
+# one canonical doc per cluster", reported per source.  Oracle = recursive
+# CTE reachability over the identical pair SQL (same pattern as
+# dedup_simhash_components).
+# --------------------------------------------------------------------------
+_MINHASH_LABELS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_NEARDUP_SQL}),
+    edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+    cc_nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, comp) AS (
+      SELECT node, node FROM cc_nodes
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    labels AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+"""
+
+_MINHASH_CC_SQL = (
+    _MINHASH_LABELS_SQL
+    + """
+    SELECT component, COUNT(*) AS n_members
+    FROM labels GROUP BY component
+"""
+)
+
+
+@register("dedup_minhash_components", _MINHASH_CC_SQL)
+def dedup_minhash_components(spark, sf_dir):
+    """Near-dup CLUSTERS from the MinHash-LSH pair graph via distributed
+    min-label propagation (``operators/graph.py``) — O(cluster size)
+    output where pair enumeration is O(k²)."""
+    from ..operators.graph import connected_components
+
+    pairs = dedup_neardup_minhash_lsh(spark, sf_dir)
+    labels = connected_components(pairs, src="id1", dst="id2")
+    return labels.groupBy(F.col("comp").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+_MINHASH_SURVIVOR_SQL = (
+    _MINHASH_LABELS_SQL
+    + """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN l.node IS NULL OR l.component = d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+    GROUP BY source
+"""
+)
+
+
+@register("dedup_minhash_survivors", _MINHASH_SURVIVOR_SQL)
+def dedup_minhash_survivors(spark, sf_dir):
+    """The dedup ACTION: per-source corpus retention after keeping one
+    canonical document (the min doc_id) per MinHash duplicate cluster.
+
+    Scale posture: the labels relation holds only docs that appear in some
+    duplicate pair — far smaller than the corpus but corpus-scaling, so the
+    docs⋈labels join is pinned to shuffle (AQE's compressed-bytes estimate
+    under-counts the in-memory build side; see the sf10 rehearsal note in
+    dedup_neardup_minhash_lsh).  The join key is doc_id on both sides; the
+    final per-source agg is a tiny partial/final hash agg.
+    """
+    from ..operators.graph import connected_components
+
+    pairs = dedup_neardup_minhash_lsh(spark, sf_dir)
+    labels = connected_components(pairs, src="id1", dst="id2")
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "source")
+    joined = d.join(
+        labels.hint("shuffle_hash"), F.col("doc_id") == F.col("node"), "left"
+    )
+    survivor = F.when(
+        F.col("node").isNull() | (F.col("comp") == F.col("doc_id")), 1
+    ).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(survivor).alias("n_survivors"),
     )
 
 

@@ -624,3 +624,116 @@ def q22_idle_customers(spark, sf_dir):
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q11-shaped: important part value share — per-part value for one nation's
+# suppliers, kept only when it exceeds a fixed fraction of that nation's
+# total (TPC-H Q11's scalar-subquery HAVING, adapted: no partsupp table in
+# this schema, so lineitem revenue plays the ps_supplycost*ps_availqty
+# role).  Reference parity: correlated scalar threshold via
+# ``/root/reference/dask_expr/_expr.py:905-947`` filter machinery over a
+# groupby aggregate.
+#
+# Scale notes: supplier is broadcast into the lineitem scan (dim join); the
+# per-part aggregation shuffles once on l_partkey with map-side partials;
+# the grand total is a second aggregation over the same filtered join —
+# Catalyst reuses the exchange when possible, and the 1-row total is
+# broadcast back for the threshold filter (no driver collect).  Both sides
+# of the comparison are dec_to_double fixed-point sums, so the > cut is
+# bit-identical across engines and shuffle orders.
+# --------------------------------------------------------------------------
+@register(
+    "q11_important_part_value",
+    f"""
+    SELECT l_partkey, {dsum_expr('l_extendedprice')} AS part_value
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    WHERE s_nationkey = 7
+    GROUP BY l_partkey
+    HAVING {dsum_expr('l_extendedprice')} >
+      (SELECT {dsum_expr('l_extendedprice')} / 10000.0
+       FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       WHERE s_nationkey = 7)
+    """,
+)
+def q11_important_part_value(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    base = l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+    per_part = base.groupBy("l_partkey").agg(dsum("l_extendedprice", "part_value"))
+    total = base.agg((dsum("l_extendedprice") / 10000.0).alias("__thresh__"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__thresh__"))
+        .select("l_partkey", "part_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# q21-shaped: suppliers who kept orders waiting — TPC-H Q21's
+# EXISTS / NOT-EXISTS double-correlated pattern (this schema has no
+# commitdate/receiptdate, so "late" is shipdate > orderdate + 90 days).
+# A line of supplier S in a finished order counts when the order has >1
+# supplier and S is the ONLY late one.
+#
+# Spark-side the correlated scans are decorrelated into one pass:
+# per-(order, supplier) partial agg (late-line count), then a window over
+# l_orderkey for the order-level supplier/late-supplier counts — the big
+# lineitem⋈orders join shuffles once on the order key, the window runs on
+# the already-small per-supplier relation, and supplier names broadcast.
+# No per-row subquery evaluation anywhere, so the plan survives 100×.
+# --------------------------------------------------------------------------
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    per_supp = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(late.cast("int")).alias("n_late_lines"))
+    )
+    w = W.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "n_late_lines",
+        F.count(F.lit(1)).over(w).alias("__nsupp__"),
+        F.sum((F.col("n_late_lines") > 0).cast("int")).over(w).alias("__nlate__"),
+    )
+    waiting = flagged.filter(
+        (F.col("n_late_lines") > 0)
+        & (F.col("__nsupp__") > 1)
+        & (F.col("__nlate__") == 1)
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+    )
