@@ -480,3 +480,39 @@ def length_decile_stats(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ORC source/sink roundtrip — completes the columnar-format matrix
+# (parquet_roundtrip_supplier / csv_roundtrip_nation / json_roundtrip_region
+# cover the other three).  The oracle aggregates the ORIGINAL parquet
+# table, so a hash match proves write→read fidelity of values and types
+# through the ORC path end-to-end.
+# --------------------------------------------------------------------------
+@register(
+    "orc_roundtrip_nation",
+    """
+    SELECT COUNT(*) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           MIN(n_name) AS first_name,
+           MAX(n_name) AS last_name
+    FROM nation
+    """,
+)
+def orc_roundtrip_nation(spark, sf_dir):
+    import os
+    import tempfile
+
+    from ..sources.tables import read_orc, to_orc
+
+    n = load_table(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="spark_graft_orc_")
+    path = os.path.join(d, "nation_orc")
+    to_orc(n, path)
+    back = read_orc(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.min("n_name").alias("first_name"),
+        F.max("n_name").alias("last_name"),
+    )

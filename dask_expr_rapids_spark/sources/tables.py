@@ -103,6 +103,29 @@ def to_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> Non
     writer.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """ORC scan (columnar, predicate/projection pushdown like parquet).
+    Extension beyond the reference's io surface (csv/parquet/json/delayed,
+    ``/root/reference/dask_expr/io/``) — warehouses mix parquet and ORC, so
+    a drop-in engine needs both columnar formats."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def to_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_on: list[str] | None = None,
+    compression: str = "zlib",
+) -> None:
+    """ORC sink — executor-parallel, one file per task, hive-partitionable."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_on:
+        writer = writer.partitionBy(*partition_on)
+    writer.orc(path)
+
+
 def from_pandas(spark: SparkSession, pdf: pd.DataFrame, npartitions: int | None = None) -> DataFrame:
     df = spark.createDataFrame(pdf)
     return df.repartition(npartitions) if npartitions else df

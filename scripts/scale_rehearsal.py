@@ -48,6 +48,8 @@ HEADLINE = [
     "dedup_exact_clusters",
     "dedup_exact_summary",
     "dedup_neardup_minhash_lsh",
+    "dedup_minhash_components",
+    "dedup_minhash_survivors",
     "dedup_simhash",
     "dedup_simhash_components",
     "dedup_ngram_jaccard",
@@ -204,7 +206,18 @@ def main() -> None:
     results: dict[str, float] = {}
     rows: dict[str, int] = {}
     errors: dict[str, str] = {}
+    from dask_expr_rapids_spark.queries.registry import release_caches
+
     for name in HEADLINE:
+        # same measurement hygiene as bench.py: drop the previous query's
+        # scoped caches / checkpointed blocks and let the heap settle, so a
+        # cache-heavy predecessor (the CC pipelines persist signatures and
+        # localCheckpoint edge lists) doesn't force its successor to spill
+        release_caches()
+        import gc as _gc
+
+        _gc.collect()  # drop py4j refs so ContextCleaner can reap checkpoint blocks
+        spark.sparkContext._jvm.System.gc()
         try:
             times = []
             for _ in range(3):
