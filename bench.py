@@ -32,7 +32,9 @@ HEADLINE = [
     "q06_forecast_revenue",
     "q07_volume_shipping",
     "q10_returned_items",
+    "q11_important_part_value",
     "q18_large_volume_customer",
+    "q21_waiting_suppliers",
     "groupby_multi_agg",
     # window / time-series
     "resample_hourly_events",

@@ -516,3 +516,128 @@ def orc_roundtrip_nation(spark, sf_dir):
         F.min("n_name").alias("first_name"),
         F.max("n_name").alias("last_name"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document boilerplate detection (RefinedWeb/CCNet-style segment
+# dedup signal): a word 8-gram that appears in >= 2 DISTINCT documents of
+# the same source is "boilerplate" (with a ~50-word vocabulary an 8-gram
+# recurs across docs only through real duplication/templating, not
+# chance).  Reported per source: distinct-gram counts, boilerplate-gram
+# counts, and the occurrence share boilerplate would remove.
+#
+# Scale posture: wordcount shape — explode 8-grams once, one partial/final
+# agg keyed by (source, gram) [the only big shuffle], then a tiny
+# per-source rollup.  No joins, no windows; the doc text never crosses a
+# shuffle.  The within-doc repetition twin is quality_repetition_signals;
+# this one is CROSS-doc.
+# --------------------------------------------------------------------------
+@register(
+    "boilerplate_gram_stats",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, source, {_NORM_SQL} AS t FROM documents
+      WHERE trim(text) <> ''
+    ),
+    words AS (SELECT doc_id, source, string_split(t, ' ') AS w FROM norm),
+    grams AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(w, CAST(u AS INT), CAST(u AS INT) + 7), ' ') AS g
+      FROM (SELECT doc_id, source, w,
+                   unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS u
+            FROM words)
+    ),
+    per_sg AS (
+      SELECT source, g,
+             COUNT(DISTINCT doc_id) AS ndocs,
+             COUNT(*) AS nocc
+      FROM grams GROUP BY source, g
+    )
+    SELECT source,
+           COUNT(*) AS n_distinct_grams,
+           CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate_grams,
+           {pround_expr('CAST(SUM(CASE WHEN ndocs >= 2 THEN nocc ELSE 0 END) AS DOUBLE)'
+                        ' / CAST(SUM(nocc) AS DOUBLE)', 6)} AS boilerplate_share
+    FROM per_sg GROUP BY source
+    """,
+)
+def boilerplate_gram_stats(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents")).filter(F.trim("text") != "")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w = F.split(norm, " ")
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                # greatest(..., 1): a doc shorter than 8 words contributes
+                # its whole text as one gram on BOTH engines (Spark's
+                # sequence(1, 0) would be the descending [1, 0], DuckDB's
+                # range(1, 1) empty — clamping avoids both edge semantics)
+                F.sequence(F.lit(1), F.greatest(F.size(w) - 7, F.lit(1))),
+                lambda i: F.array_join(F.slice(w, i, 8), " "),
+            )
+        ).alias("g"),
+    )
+    per_sg = grams.groupBy("source", "g").agg(
+        F.countDistinct("doc_id").alias("ndocs"),
+        F.count(F.lit(1)).alias("nocc"),
+    )
+    boiler = (F.col("ndocs") >= 2).cast("int")
+    share = F.sum(F.col("nocc") * boiler).cast("double") / F.sum("nocc").cast(
+        "double"
+    )
+    return per_sg.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.sum(boiler).alias("n_boilerplate_grams"),
+        pround(share, 6).alias("boilerplate_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document chunking for embedding/indexing: fixed 50-word windows with a
+# 10-word overlap (stride 40), the standard pre-embedding segmentation.
+# Pure built-in array ops (sequence → slice), no Python anywhere — at
+# 100 TB the chunker is a map-only stage that pipelines into the scan.
+# --------------------------------------------------------------------------
+@register(
+    "chunk_documents_stats",
+    """
+    WITH words AS (
+      SELECT doc_id, source, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             len(list_slice(w, CAST(u AS INT), CAST(u AS INT) + 49)) AS chunk_words
+      FROM (SELECT doc_id, source, w,
+                   unnest(range(1, greatest(len(w), 1) + 1, 40)) AS u
+            FROM words)
+    )
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(chunk_words) AS BIGINT) AS total_chunk_words,
+           MIN(chunk_words) AS min_chunk_words,
+           MAX(chunk_words) AS max_chunk_words
+    FROM chunks GROUP BY source
+    """,
+)
+def chunk_documents_stats(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents")).filter(F.trim("text") != "")
+    w = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    chunks = d.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(40)),
+                lambda i: F.size(F.slice(w, i, 50)),
+            )
+        ).alias("chunk_words"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_words").cast("bigint").alias("total_chunk_words"),
+        F.min("chunk_words").alias("min_chunk_words"),
+        F.max("chunk_words").alias("max_chunk_words"),
+    )

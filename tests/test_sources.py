@@ -107,3 +107,22 @@ def test_normalize_ts_accepts_ntz_frames(spark):
     # normalized frame and must preserve sub-second precision
     micros = [r[0] for r in out.select(F.unix_micros(F.col("ts").cast("timestamp"))).collect()]
     assert micros[0] % 1_000_000 == 250_000
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    """ORC sink with hive partitioning: values and dtypes survive the
+    write→read cycle, and the partition column is recovered."""
+    from dask_expr_rapids_spark.sources.tables import load_table, read_orc, to_orc
+
+    n = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_orc_part")
+    to_orc(n, path, partition_on=["n_regionkey"])
+    back = read_orc(spark, path)
+    assert sorted(back.columns) == sorted(n.columns)
+    want = sorted(
+        (r.n_nationkey, r.n_name, int(r.n_regionkey)) for r in n.collect()
+    )
+    got = sorted(
+        (r.n_nationkey, r.n_name, int(r.n_regionkey)) for r in back.collect()
+    )
+    assert got == want
