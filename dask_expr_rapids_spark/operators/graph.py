@@ -68,14 +68,19 @@ def connected_components(
         .repartition(loop_parts, "b")
         .localCheckpoint()
     )
+    # round 0 fused into initialization: start every node at
+    # min(self, direct neighbors) instead of self — same shuffle count as
+    # the old identity init (one groupBy vs one distinct), but star-shaped
+    # duplicate clusters (the common case) now begin one round from
+    # convergence instead of two
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("__nb__"))
+        .select("node", F.least(F.col("node"), F.col("__nb__")).alias("comp"))
         .repartition(loop_parts, "node")
         .localCheckpoint()
     )
-    labels, changed = _propagate(sym, labels, max_iter)
+    labels, changed = _propagate(sym, labels, max_iter, loop_parts)
     if changed:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
@@ -87,7 +92,7 @@ def connected_components(
 
 
 def _propagate(
-    sym: DataFrame, labels: DataFrame, max_iter: int
+    sym: DataFrame, labels: DataFrame, max_iter: int, loop_parts: int
 ) -> tuple[DataFrame, int]:
     changed = 0
     for _ in range(max_iter):
@@ -104,15 +109,20 @@ def _propagate(
             ),
         )
         # path halving (pointer jumping): also adopt the label OF the label,
-        # collapsing chains in O(log diameter) rounds instead of O(diameter)
-        # — near-dup graphs contain paths (A~B~C without A~C), not only
-        # cliques, so plain propagation needs diameter rounds (9 measured
-        # at sf0.1 vs 5 with halving)
+        # collapsing chains faster than plain propagation — near-dup graphs
+        # contain paths (A~B~C without A~C), not only cliques.  Exactly ONE
+        # halving hop per round: a second un-materialized hop doubles the
+        # recomputed lineage per hop (the hop-2 self-join re-evaluates the
+        # hop-1 join on both sides) and measured 100× slower at sf0.1, and
+        # checkpointing between hops costs a job — the single hop is the
+        # sweet spot.
         parents = prop.select(
             F.col("node").alias("pnode"), F.col("comp").alias("pcomp")
         )
         # one materialization per round carries (old, new) label pairs, so
-        # the convergence count is a cheap scan of checkpointed data
+        # the convergence count is a cheap scan of checkpointed data; the
+        # iterate stays co-partitioned on node so the next round's neighbor
+        # and label joins run exchange-free on the labels side
         step = (
             prop.join(parents, prop["comp"] == parents["pnode"], "left")
             .select(
@@ -122,6 +132,7 @@ def _propagate(
                     F.col("comp"), F.coalesce("pcomp", F.col("comp"))
                 ).alias("comp"),
             )
+            .repartition(loop_parts, "node")
             .localCheckpoint()
         )
         changed = step.filter(F.col("comp") != F.col("old_comp")).count()
