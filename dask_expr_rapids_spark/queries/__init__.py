@@ -32,11 +32,14 @@ from . import window  # noqa: E402,F401
 #   * 7 round-6 queries (new this round — never driver-verified),
 #   * 13 round-5 queries (added after the r4 window was recorded; 8 of them
 #     fell outside the round-5 ordering's first 50),
-#   * 4 round-6 session-2 additions (TPC-H completions q11/q21, MinHash
-#     components/survivors — never driver-verified),
+#   * 7 round-6 session-2 additions (TPC-H completions q11/q21, MinHash
+#     components/survivors, ORC roundtrip, boilerplate grams, chunking —
+#     never driver-verified),
 #   * 5 round-3 queries never hash-verified by any driver window,
-#   * 21 of the round-2-window LLM-pipeline/breadth queries whose last
-#     driver verification predates three rounds of shared-machinery change.
+#   * 18 of the round-2-window LLM-pipeline/breadth queries whose last
+#     driver verification predates three rounds of shared-machinery change
+#     (the 27 that no longer fit stay locally oracle-verified and cycle in
+#     next round).
 # Every query NOT in the window stays locally oracle-checked at sf0.001 by
 # tests/test_correctness.py (same compare, same DuckDB oracle); the
 # relational core (q01..q22, aggregates, window fns) was hash-verified on
@@ -70,6 +73,9 @@ DRIVER_WINDOW: list[str] = [
     "q21_waiting_suppliers",
     "dedup_minhash_components",
     "dedup_minhash_survivors",
+    "orc_roundtrip_nation",
+    "boilerplate_gram_stats",
+    "chunk_documents_stats",
     # round 3, never hash-verified by a driver window
     "timeseries_source_agg",
     "lazy_above_mean_orders",
@@ -95,9 +101,6 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_frame_stats",
     "stream_windowed_event_counts",
     "stream_sessionize_users",
-    "dt_accessor_showcase",
-    "grouping_sets_status_year",
-    "window_fn_breadth",
 ]
 
 assert len(DRIVER_WINDOW) == 50, f"window must be exactly 50, got {len(DRIVER_WINDOW)}"

@@ -641,3 +641,47 @@ def chunk_documents_stats(spark, sf_dir):
         F.min("chunk_words").alias("min_chunk_words"),
         F.max("chunk_words").alias("max_chunk_words"),
     )
+
+
+# --------------------------------------------------------------------------
+# Table profiling (the ANALYZE/SUMMARIZE shape): one pass over the fact
+# table computing row count, null counts, distinct cardinalities, and
+# min/max bounds — the statistics a catalog or data-quality monitor
+# maintains.  Multiple COUNT(DISTINCT) in one agg lowers to Catalyst's
+# Expand + two-level agg: still a single scan, no joins.
+# --------------------------------------------------------------------------
+@register(
+    "profile_lineitem_columns",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_quantity,
+           COUNT(DISTINCT l_orderkey) AS n_orderkeys,
+           COUNT(DISTINCT l_partkey) AS n_partkeys,
+           COUNT(DISTINCT l_returnflag) AS n_returnflags,
+           MIN(l_quantity) AS min_quantity,
+           MAX(l_quantity) AS max_quantity,
+           strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_shipdate,
+           strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_shipdate
+    FROM lineitem
+    """,
+)
+def profile_lineitem_columns(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("int")).cast("bigint").alias(
+            "null_quantity"
+        ),
+        F.countDistinct("l_orderkey").alias("n_orderkeys"),
+        F.countDistinct("l_partkey").alias("n_partkeys"),
+        F.countDistinct("l_returnflag").alias("n_returnflags"),
+        F.min("l_quantity").alias("min_quantity"),
+        F.max("l_quantity").alias("max_quantity"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "min_shipdate"
+        ),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "max_shipdate"
+        ),
+    )

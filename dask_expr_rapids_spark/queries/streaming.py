@@ -15,6 +15,8 @@ import itertools
 import os
 import tempfile
 
+from pyspark.sql import functions as F
+
 from ..streaming.ops import (
     read_events_stream,
     run_available_now,
@@ -107,4 +109,51 @@ def stream_sessionize_users(spark, sf_dir):
         ),
         out_dir,
         output_mode="complete",
+    )
+
+
+@register(
+    "stream_trending_event_types",
+    """
+    WITH counts AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT window_start, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type) AS rk
+      FROM counts
+    )
+    SELECT window_start, event_type, n, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def stream_trending_event_types(spark, sf_dir):
+    """Top-3 trending event types per hour: the streaming-pre-agg +
+    batch-post-process composition pattern.  The STREAMING job maintains
+    the watermark-bounded windowed counts (the only state that must be
+    continuous); the rank is a batch window over the drained sink output —
+    streaming DataFrames don't support rank/row_number, and they don't
+    need to: the post-aggregation relation is windows × event_types,
+    thousands of rows where the input was billions.  At 100 TB the same
+    split holds — heavy continuous state in the stream, cheap ranking on
+    the tiny aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    stream = _events_stream(spark, sf_dir)
+    sink = f"stream_trending_{next(_sink_counter)}"
+    counts = run_available_now(
+        windowed_counts(stream, window="1 hour", watermark="2 hours"),
+        sink,
+        output_mode="complete",
+    )
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", "n", "rk")
     )
