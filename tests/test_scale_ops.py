@@ -164,3 +164,44 @@ def test_stratified_take_exact_counts(spark):
     a = {r["doc_id"] for r in took.collect()}
     b = {r["doc_id"] for r in stratified_take(d.repartition(7), "source", k=5, key="doc_id").collect()}
     assert a == b
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Differential: CC labels on seeded pseudo-random graphs must equal a
+    pure-Python union-find — guards the loop's init/propagation/halving
+    against structural regressions (chains, stars, merged stars, cycles)."""
+    import random
+
+    from dask_expr_rapids_spark.operators.graph import connected_components
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min node of the component
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        n_nodes = rng.randrange(20, 60)
+        n_edges = rng.randrange(10, 80)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        want = union_find_labels(edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+        assert got == want, f"trial {trial}: {sorted(set(got.items()) ^ set(want.items()))}"
