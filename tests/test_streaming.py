@@ -143,3 +143,58 @@ def test_stream_join_within_batch_parity(spark):
         .collect()
     )
     assert got == naive and len(got) > 0
+
+
+def test_streaming_checkpoint_recovery_resumes_state(spark, tmp_path):
+    """Restart-with-checkpoint contract: drain half the input, then restart
+    a NEW streaming query over the same checkpoint after more files arrive.
+    The file source must skip already-processed files (exactly-once) and the
+    state store must resume the windowed counts — final complete-mode
+    output equals one batch pass over everything."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_expr_rapids_spark.sources.tables import load_table
+    from dask_expr_rapids_spark.streaming.ops import (
+        read_events_stream,
+        run_available_now_to_files,
+        windowed_counts,
+    )
+
+    e = load_table(spark, SF_DIR, "events").select("ts", "event_type")
+    pdf = e.toPandas().sort_values("ts").reset_index(drop=True)
+    half = len(pdf) // 2
+    src = tmp_path / "stream_src"
+    os.makedirs(src)
+    pdf.iloc[:half].to_parquet(src / "part1.parquet", index=False)
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    s1 = read_events_stream(spark, str(src))
+    run_available_now_to_files(
+        windowed_counts(s1, window="1 hour", watermark="2 hours"),
+        out,
+        output_mode="complete",
+        checkpoint=ckpt,
+    )
+    phase1 = spark.read.parquet(out).count()
+
+    # "later that day": more files land; a NEW query resumes the checkpoint
+    pdf.iloc[half:].to_parquet(src / "part2.parquet", index=False)
+    s2 = read_events_stream(spark, str(src))
+    final = run_available_now_to_files(
+        windowed_counts(s2, window="1 hour", watermark="2 hours"),
+        out,
+        output_mode="complete",
+        checkpoint=ckpt,
+    )
+
+    want = {
+        (r["window_start"], r["event_type"], r["n"])
+        for r in windowed_counts(e, window="1 hour", watermark="2 hours").collect()
+    }
+    got = {(r["window_start"], r["event_type"], r["n"]) for r in final.collect()}
+    assert got == want
+    assert phase1 > 0  # the first drain really produced partial state
