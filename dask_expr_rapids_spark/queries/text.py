@@ -161,6 +161,41 @@ def dedup_exact_clusters(spark, sf_dir):
 
 
 @register(
+    "dedup_exact_survivors",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = mn THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_survivors
+    FROM (SELECT source, doc_id,
+                 MIN(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS mn
+          FROM documents)
+    GROUP BY source
+    """,
+)
+def dedup_exact_survivors(spark, sf_dir):
+    """Per-source retention after exact dedup (keep min doc_id per
+    fingerprint cluster) — the exact-dedup twin of
+    ``dedup_minhash_survivors``.  One window keyed by the fingerprint
+    (clusters may span sources, so the canonical doc is global), then a
+    tiny per-source agg; a single shuffle end-to-end."""
+    from pyspark.sql import Window as W
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = W.partitionBy(fingerprint(F.col("text")))
+    return (
+        d.select("source", "doc_id", F.min("doc_id").over(w).alias("mn"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("doc_id") == F.col("mn")).cast("int"))
+            .cast("bigint")
+            .alias("n_survivors"),
+        )
+    )
+
+
+@register(
     "dedup_exact_summary",
     f"""
     SELECT COUNT(*) AS n_docs,
