@@ -54,6 +54,9 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    # the engine's most iterative plan (CC loop over the LSH pair graph) —
+    # added r6 per the round-5 verdict so the driver watches it every round
+    "dedup_minhash_components",
     "text_quality_by_source",
     "ann_bruteforce_cosine_topk",
     "ann_ivf_cosine_topk",

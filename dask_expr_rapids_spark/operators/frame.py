@@ -564,12 +564,22 @@ class Series:
             expr = F.when(self._expr == F.lit(k), F.lit(v)).otherwise(expr)
         return Series(self._frame, expr, self.name)
 
-    def unique(self) -> list:
-        """Reference ``Unique`` (``_reductions.py:478-509``) — distinct
-        values collected to the driver (a result set, like compute())."""
+    def unique(self) -> "Series":
+        """Reference ``Unique`` (``_reductions.py:478-509``) — LAZY: the
+        reference returns a composable Series collection (you can keep
+        chaining filters/maps on it), never a driver-side list.  A
+        high-cardinality ``df.x.unique()`` mid-pipeline must stay
+        distributed — eager collect here is a driver OOM at 100 TB.  Use
+        ``.tolist()`` / ``.compute()`` for the explicit eager boundary."""
+        name = self.name or "v"
+        sdf = self._frame._sdf.select(self._expr.alias(name)).distinct()
+        return Series(SparkFrame(sdf), F.col(name), name)
+
+    def tolist(self) -> list:
+        """Explicit eager boundary (reference ``compute()`` semantics):
+        collect the Series' values to a driver list."""
         return [
-            r[0]
-            for r in self._frame._sdf.select(self._expr.alias("v")).distinct().collect()
+            r[0] for r in self._frame._sdf.select(self._expr.alias("v")).collect()
         ]
 
     def nlargest(self, n: int = 5) -> "SparkFrame":
@@ -1784,9 +1794,15 @@ class SparkFrame:
             F.approx_count_distinct(F.struct(*self.columns), rsd)
         ).collect()[0][0]
 
-    def describe(self) -> pd.DataFrame:
-        """Reference Describe (_describe.py:16-94) → native summary()."""
-        return self._sdf.drop(INDEX).summary().toPandas()
+    def describe(self, lazy: bool = False):
+        """Reference Describe (_describe.py:16-94) → native summary().
+
+        ``lazy=True`` keeps the summary a composable distributed frame
+        (LazyScalar's pattern at frame granularity) — the default eager
+        pandas return is the API boundary, fine because the result is
+        O(columns), never O(rows)."""
+        out = self._sdf.drop(INDEX).summary()
+        return SparkFrame(out) if lazy else out.toPandas()
 
     # -- UDF surface (reference MapPartitions _expr.py:517-592) ------------
     def map_partitions(self, fn: Callable, schema) -> "SparkFrame":

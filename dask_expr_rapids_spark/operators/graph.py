@@ -29,6 +29,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Loop-state sizing: one partition per ~2.5M symmetrized edges (2 longs +
+# shuffle overhead ≈ 25 B/row → ~64 MB per partition), floor 8.  Same
+# pattern as the streaming sessionize state fix (BENCH_PROTOCOL defect #7):
+# derive parallelism from the measured input, never a constant — a fixed
+# cap of 8 was fine at rehearsal scale but would funnel a 100 TB corpus's
+# billions of edges through 8 tasks per round.
+_EDGES_PER_PARTITION = 2_500_000
+
+
+def _loop_partitions(n_edges: int, floor: int = 8) -> int:
+    """Partition count for the CC iteration state, scaling with the edge
+    list: ceil(n_edges / ~2.5M), floored so tiny graphs still spread over
+    enough tasks to overlap scheduling with work."""
+    return max(floor, -(-int(n_edges) // _EDGES_PER_PARTITION))
+
 
 def connected_components(
     edges: DataFrame,
@@ -48,21 +63,18 @@ def connected_components(
     half = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
-    # The iteration state is tiny relative to the input (nodes-in-clusters,
-    # not corpus rows): pin the loop's inputs to a low partition count so
-    # per-round cost is data, not task-scheduling overhead.  Deliberately
-    # NOT a session-conf toggle (spark.sql.shuffle.partitions is session-
-    # global — mutating it would silently re-plan any concurrent query on a
-    # shared session); the per-DataFrame repartition below (checkpointed, so
-    # it happens once) plus AQE's coalescePartitions keep each round's
-    # exchanges small.
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
-    spark = edges.sparkSession
-    loop_parts = min(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
     # materialize the (possibly expensive) edge producer ONCE — every
     # iteration joins against it, and without this the upstream pipeline
-    # (e.g. a full LSH dedup query) would replay per round
+    # (e.g. a full LSH dedup query) would replay per round.  Checkpointing
+    # the half-edge list first also makes the sizing count free: the loop
+    # partition count is derived from the MEASURED edge volume, not a
+    # constant and not the session-global spark.sql.shuffle.partitions
+    # (which is a string like "auto" under some deployments, and mutating
+    # it would re-plan concurrent queries on a shared session).
+    half = half.localCheckpoint()
+    loop_parts = _loop_partitions(2 * half.count())
     sym = (
         half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .repartition(loop_parts, "b")

@@ -28,79 +28,77 @@ from . import window  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver verification window: the driver's CORRECTNESS run covers the FIRST
 # 50 registered queries, so registration order is rotated each round to get
-# every query driver-verified on current code.  Round-6 window, by priority:
-#   * 7 round-6 queries (new this round — never driver-verified),
-#   * 13 round-5 queries (added after the r4 window was recorded; 8 of them
-#     fell outside the round-5 ordering's first 50),
-#   * 7 round-6 session-2 additions (TPC-H completions q11/q21, MinHash
-#     components/survivors, ORC roundtrip, boilerplate grams, chunking —
-#     never driver-verified),
-#   * 5 round-3 queries never hash-verified by any driver window,
-#   * 18 of the round-2-window LLM-pipeline/breadth queries whose last
-#     driver verification predates three rounds of shared-machinery change
-#     (the 27 that no longer fit stay locally oracle-verified and cycle in
-#     next round).
-# Every query NOT in the window stays locally oracle-checked at sf0.001 by
-# tests/test_correctness.py (same compare, same DuckDB oracle); the
-# relational core (q01..q22, aggregates, window fns) was hash-verified on
-# current code in CORRECTNESS_r04.  tests/test_registry_window.py pins the
-# window to exactly this list.
+# every query driver-verified on current code.  Round-7 window (the round-6
+# verdict's item #1 — close ALL remaining verification debt), by priority:
+#   * `rolling_time_5min` FIRST — the r4 driver failure (NTZ watermark);
+#     its fix has been locally green since round 5 but never driver-hashed,
+#   * the 3 queries never driver-verified by any window
+#     (dedup_exact_survivors, profile_lineitem_columns,
+#     stream_trending_event_types),
+#   * the 22 queries whose last driver hash is r2-stale (str/dt showcases,
+#     frame_api_*, roundtrips, sampling, misc breadth),
+#   * the remaining 24 slots back-fill with the oldest r4-window relational
+#     queries (q01.., joins, set ops) so their evidence stays fresh too.
+# After this round every one of the 125 registered queries has a driver
+# hash on r5-or-later code.  Every query NOT in the window stays locally
+# oracle-checked at sf0.001 by tests/test_correctness.py (same compare,
+# same DuckDB oracle); tests/test_registry_window.py pins the window to
+# exactly this list.
 DRIVER_WINDOW: list[str] = [
-    # round 6 (new)
-    "quality_repetition_signals",
-    "token_piece_stats",
-    "pii_scrub_stats",
-    "pack_sequences_greedy",
-    "semantic_prune_prototypes",
-    "domain_mix_resample",
-    "length_decile_stats",
-    # round 5
-    "asof_join_click_purchase",
-    "unpivot_lineitem_amounts",
-    "gapfill_hourly_event_counts",
-    "histogram_order_totals",
-    "listagg_nations_by_region",
-    "json_props_extract_agg",
-    "skew_salted_join_revenue",
-    "dataset_split_assign",
-    "decontaminate_train_eval",
-    "range_join_first_hour_events",
-    "time_rollup_multigrain",
-    "stream_join_click_purchase",
-    "skew_salted_groupby_users",
-    # TPC-H completions (new this round)
-    "q11_important_part_value",
-    "q21_waiting_suppliers",
-    "dedup_minhash_components",
-    "dedup_minhash_survivors",
-    "orc_roundtrip_nation",
-    "boilerplate_gram_stats",
-    "chunk_documents_stats",
-    # round 3, never hash-verified by a driver window
-    "timeseries_source_agg",
-    "lazy_above_mean_orders",
-    "json_roundtrip_region",
-    "stream_dedup_event_keys",
-    "ann_lsh_cosine_topk",
-    # round-2-window LLM-pipeline / breadth set (stale driver evidence)
-    "text_stats",
-    "lang_id_confusion",
-    "text_quality_by_source",
-    "dedup_exact_clusters",
-    "dedup_exact_summary",
-    "dedup_neardup_minhash_lsh",
-    "dedup_simhash_components",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_bruteforce_cosine_topk",
-    "ann_ivf_cosine_topk",
-    "embedding_centroids",
-    "multimodal_payload_stats",
-    "multimodal_decode_features",
-    "multimodal_frame_stats",
-    "stream_windowed_event_counts",
-    "stream_sessionize_users",
+    # the r4 failure whose fix was never driver-confirmed
+    "rolling_time_5min",
+    # never driver-verified by any window
+    "dedup_exact_survivors",
+    "profile_lineitem_columns",
+    "stream_trending_event_types",
+    # r2-stale driver evidence
+    "explode_doc_words",
+    "str_accessor_showcase",
+    "dt_accessor_showcase",
+    "grouping_sets_status_year",
+    "window_fn_breadth",
+    "monotonic_user_events",
+    "csv_roundtrip_nation",
+    "parquet_roundtrip_supplier",
+    "text_fingerprint_rolling_hash",
+    "str_accessor_edit_ops",
+    "dt_accessor_calendar_edges",
+    "cumprod_linenumbers",
+    "frame_api_groupby_pipeline",
+    "frame_api_merge_value_counts",
+    "frame_api_shift_diff",
+    "frame_api_rolling_mean",
+    "rolling_center_mean_5",
+    "resample_quantile_daily",
+    "timedelta_user_span",
+    "merge_indicator_customer_orders",
+    "stratified_sample_documents",
+    "stratified_take_documents",
+    # back-fill: oldest r4-window relational queries (freshness rotation)
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "join_semi_open_orders",
+    "join_anti_no_big_orders",
+    "join_outer_nation_customers",
+    "filter_project_arith",
+    "topk_orders_by_price",
+    "concat_union_all",
+    "set_intersect_nations",
+    "set_except_nations",
+    "q02_best_supplier_per_nation",
+    "q04_order_priority",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q12_priority_by_shipyear",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_brand_supplier_count",
+    "q17_small_quantity_revenue",
 ]
 
 assert len(DRIVER_WINDOW) == 50, f"window must be exactly 50, got {len(DRIVER_WINDOW)}"

@@ -8,13 +8,13 @@ rolling-hash document fingerprint (text-analysis extension).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import davg_expr, dsum, dsum_expr, pround
 from ..sources.tables import load_table, read_csv, read_parquet, to_parquet
+from ..scratch import scratch_dir
 from .registry import register
 
 
@@ -298,7 +298,7 @@ def timeseries_source_agg(spark, sf_dir):
 )
 def csv_roundtrip_nation(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
-    d = tempfile.mkdtemp(prefix="spark_graft_csv_")
+    d = scratch_dir("spark_graft_csv_")
     path = os.path.join(d, "nation_csv")
     n.write.mode("overwrite").option("header", "true").csv(path)
     back = read_csv(spark, path, header=True)
@@ -318,7 +318,7 @@ def csv_roundtrip_nation(spark, sf_dir):
 )
 def parquet_roundtrip_supplier(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
-    d = tempfile.mkdtemp(prefix="spark_graft_pq_")
+    d = scratch_dir("spark_graft_pq_")
     path = os.path.join(d, "supplier_pq")
     to_parquet(s, path, partition_on=["s_nationkey"])
     back = read_parquet(spark, path)

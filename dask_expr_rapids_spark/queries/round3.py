@@ -13,13 +13,13 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.frame import INDEX, SparkFrame
 from ..sources.tables import load_table, read_json, spread, to_json
+from ..scratch import scratch_dir
 from .registry import register
 
 _sink_counter = itertools.count()
@@ -65,7 +65,7 @@ def lazy_above_mean_orders(spark, sf_dir):
 )
 def json_roundtrip_region(spark, sf_dir):
     r = load_table(spark, sf_dir, "region")
-    d = tempfile.mkdtemp(prefix="spark_graft_json_")
+    d = scratch_dir("spark_graft_json_")
     path = os.path.join(d, "region_json")
     to_json(r, path)
     back = read_json(spark, path, schema=r.schema)

@@ -501,12 +501,12 @@ def length_decile_stats(spark, sf_dir):
 )
 def orc_roundtrip_nation(spark, sf_dir):
     import os
-    import tempfile
 
+    from ..scratch import scratch_dir
     from ..sources.tables import read_orc, to_orc
 
     n = load_table(spark, sf_dir, "nation")
-    d = tempfile.mkdtemp(prefix="spark_graft_orc_")
+    d = scratch_dir("spark_graft_orc_")
     path = os.path.join(d, "nation_orc")
     to_orc(n, path)
     back = read_orc(spark, path)

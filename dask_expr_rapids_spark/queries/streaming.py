@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -24,6 +23,7 @@ from ..streaming.ops import (
     sessionize,
     windowed_counts,
 )
+from ..scratch import scratch_dir
 from .registry import register
 
 _sink_counter = itertools.count()
@@ -93,7 +93,7 @@ def stream_sessionize_users(spark, sf_dir):
     directory via ``foreachBatch`` — no driver-side staging
     or memory-sink accumulation anywhere in the path."""
     stream = _events_stream(spark, sf_dir)
-    out_dir = tempfile.mkdtemp(prefix="spark_graft_sessions_")
+    out_dir = scratch_dir("spark_graft_sessions_")
     # bounded drain → SIZED state fan-out: state-store commit cost is per
     # partition per batch (argues for few partitions at small inputs), but
     # each partition holds its keys' full session state in memory during

@@ -237,12 +237,12 @@ _MH_A = [1_000_003 * (j + 1) + 12_345 for j in range(_K)]
 _MH_B = [999_983 * (j + 1) * (j + 1) + 54_321 for j in range(_K)]
 
 
-def _md5_u32_sql(expr: str) -> str:
-    """DuckDB arithmetic for Spark's conv(substr(md5(expr),1,8),16,10)."""
+def _md5_u32_sql(expr: str, off: int = 0) -> str:
+    """DuckDB arithmetic for Spark's conv(substr(md5(expr),off+1,8),16,10)."""
     return (
         "("
         + " + ".join(
-            f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {off + i + 1}, 1)) - 1)"
             f" * {16 ** (7 - i)}"
             for i in range(8)
         )
@@ -250,10 +250,21 @@ def _md5_u32_sql(expr: str) -> str:
     )
 
 
+# Verification-payload hash: 63-bit (31 high bits from md5 hex chars 9-16 +
+# the same 32-bit g32 word) — still ONE md5 per shingle, but cross-doc
+# collisions at 32 bits could inflate the exact-jaccard intersection near
+# the 0.2 threshold identically in both engines (round-5 advice); at 63
+# bits a pair of length-bounded docs collides with probability ~n²/2⁶³ —
+# negligible.  The minhash SIGNATURE keeps using g32 (LSH is approximate
+# by construction; 32-bit mixing is part of its published configuration).
+_G64_SQL = (
+    f"(({_md5_u32_sql('g', 8)} % 2147483648) * 4294967296 + {_md5_u32_sql('g')})"
+)
+
 _GRAMS_SQL = f"""
   norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
   grams AS (
-    SELECT DISTINCT doc_id, g, {_md5_u32_sql('g')} AS g32
+    SELECT DISTINCT doc_id, g, {_md5_u32_sql('g')} AS g32, {_G64_SQL} AS g64
     FROM (SELECT doc_id, substr(t, CAST(u AS INT), {_NGRAM}) AS g
           FROM (SELECT doc_id, t,
                        unnest(range(1, greatest(len(t) - {_NGRAM - 1}, 1) + 1)) AS u
@@ -284,8 +295,8 @@ _NEARDUP_SQL = f"""
     mh AS (
       SELECT doc_id,
            {_MINHASH_COLS_SQL},
-           COUNT(DISTINCT g32) AS n,
-           list(DISTINCT g32) AS gset
+           COUNT(DISTINCT g64) AS n,
+           list(DISTINCT g64) AS gset
       FROM grams GROUP BY doc_id
     ),
     sigs AS (SELECT doc_id, {_BAND_KEYS_SQL} FROM mh),
@@ -344,16 +355,23 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
     # verification) and its size — min/collect_set are duplicate-insensitive
     # so no separate distinct() shuffle is needed, and downstream joins are
     # all on n_docs-sized relations, never on exploded gram rows.  The
-    # verification set holds the 32-bit gram hashes, not the gram strings:
-    # both engines derive g32 identically, so exact-jaccard-over-hashes is
-    # engine-agreed while the cached/shuffled payload is ~4× slimmer and
-    # array_intersect runs on longs.  Docs are length-bounded, so
-    # collect_set stays small; for unbounded docs cap the shingle count
-    # upstream.  Persisted: three consumers (bands self-join, both sides of
+    # verification set holds 63-bit gram hashes (hi 31 bits ∥ g32 — see the
+    # _G64_SQL note), not the gram strings: both engines derive g64 from
+    # the same single md5, so exact-jaccard-over-hashes is engine-agreed,
+    # collision inflation is ~n²/2⁶³ (negligible, vs real at 32 bits), and
+    # the cached/shuffled payload stays a slim long array with
+    # array_intersect on longs.  Docs are length-bounded, so collect_set
+    # stays small; for unbounded docs cap the shingle count upstream.
+    # Persisted: three consumers (bands self-join, both sides of
     # verification) would otherwise recompute the lineage.
-    g32 = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+    m = F.md5("g")
+    g32 = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    g64 = (
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long") % F.lit(2147483648)
+    ) * F.lit(4294967296) + g32
     mh = (
         grams.withColumn("g32", g32)
+        .withColumn("g64", g64)
         .groupBy("doc_id")
         .agg(
             *[
@@ -362,7 +380,7 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
                 )
                 for j in range(_K)
             ],
-            F.collect_set("g32").alias("gset"),
+            F.collect_set("g64").alias("gset"),
         )
         .withColumn("n", F.size("gset"))
     )

@@ -270,7 +270,8 @@ def run_available_now_to_files(
     Returns a batch DataFrame over the sink directory.
     """
     import os
-    import tempfile
+
+    from ..scratch import scratch_dir
 
     # an availableNow drain's checkpoint is scratch state (the query ends
     # when the drain ends — nothing resumes from it), so prefer tmpfs over
@@ -304,7 +305,7 @@ def run_available_now_to_files(
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            checkpoint or tempfile.mkdtemp(prefix="spark_graft_ckpt_", dir=scratch),
+            checkpoint or scratch_dir("spark_graft_ckpt_", base=scratch),
         )
         .start()
     )

@@ -447,7 +447,14 @@ def test_rollup_cube(sf, pdf):
 
 def test_series_replace_unique_nlargest(sf, pdf):
     eq_series(sf["y"].replace({0: 100, 1: 101}), pdf.y.replace({0: 100, 1: 101}))
-    assert sorted(sf["s"].unique()) == sorted(pdf.s.unique())
+    # unique is LAZY (reference Unique returns a composable Series);
+    # .tolist() is the eager boundary — and the lazy frame keeps composing
+    uniq = sf["s"].unique()
+    assert sorted(uniq.tolist()) == sorted(pdf.s.unique())
+    assert ".collect" not in type(uniq).__name__  # still a Series, not a list
+    assert sorted((uniq.str.upper()).tolist()) == sorted(
+        pdf.s.str.upper().unique()
+    )
     got = sf["z"].nlargest(3).to_pandas()
     assert sorted(got["z"].tolist()) == sorted(pdf.z.nlargest(3).tolist())
 
@@ -457,6 +464,17 @@ def test_series_describe(sf, pdf):
     want = pdf.z.describe()
     for k in ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]:
         assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+
+def test_frame_describe_lazy_composes(sf, pdf):
+    # lazy=True keeps the summary distributed and composable (LazyScalar's
+    # pattern at frame granularity): filter a stat row BEFORE collecting
+    lazy = sf.describe(lazy=True)
+    row = lazy[lazy["summary"] == "count"].to_pandas()
+    assert len(row) == 1
+    assert int(float(row.iloc[0]["z"])) == len(pdf)
+    eager = sf.describe()
+    assert "summary" in eager.columns
 
 
 def test_frame_replace_isna_dtypes(spark):

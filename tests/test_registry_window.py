@@ -13,20 +13,33 @@ def test_window_is_exactly_the_first_fifty():
     assert len(set(DRIVER_WINDOW)) == 50
 
 
-def test_window_prioritizes_unverified_rounds():
-    # every round-5 and round-6 query (never driver-verified before this
-    # round's window) must sit inside the window
-    from dask_expr_rapids_spark.queries import round5, round6  # noqa: F401
-
-    for mod_prefixes in (
-        ("quality_repetition_signals", "token_piece_stats", "pii_scrub_stats",
-         "pack_sequences_greedy", "semantic_prune_prototypes",
-         "domain_mix_resample", "length_decile_stats"),
-        ("asof_join_click_purchase", "stream_join_click_purchase",
-         "skew_salted_groupby_users", "decontaminate_train_eval"),
+def test_window_prioritizes_unverified_queries():
+    # Round-6 rotation closes the verification debt itemized in the round-5
+    # verdict: the r4 failure's fix leads, then the 3 never-verified and
+    # the 22 r2-stale queries — all must sit inside the window.
+    assert DRIVER_WINDOW[0] == "rolling_time_5min"
+    for name in (
+        "dedup_exact_survivors",
+        "profile_lineitem_columns",
+        "stream_trending_event_types",
+        "str_accessor_showcase",
+        "dt_accessor_showcase",
+        "grouping_sets_status_year",
+        "window_fn_breadth",
+        "monotonic_user_events",
+        "csv_roundtrip_nation",
+        "parquet_roundtrip_supplier",
+        "frame_api_groupby_pipeline",
+        "rolling_center_mean_5",
+        "resample_quantile_daily",
+        "timedelta_user_span",
+        "merge_indicator_customer_orders",
+        "stratified_sample_documents",
+        "text_fingerprint_rolling_hash",
+        "explode_doc_words",
+        "cumprod_linenumbers",
     ):
-        for name in mod_prefixes:
-            assert name in DRIVER_WINDOW[:25], name
+        assert name in DRIVER_WINDOW[:26], name
 
 
 def test_every_registered_query_has_fn():

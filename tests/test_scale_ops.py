@@ -138,6 +138,28 @@ def test_connected_components_chain_and_clique(spark):
     assert summary == {1: (5, 1), 10: (2, 10), 20: (3, 20)}
 
 
+def test_cc_loop_partitions_scale_with_edges():
+    """The CC iteration state must spread over more partitions as the edge
+    list grows (reference parity: its shuffles scale stages with
+    npartitions, dask_expr/_shuffle.py:348-363 — a fixed cap never appears
+    there).  Floor 8 at rehearsal scale; ~64 MB of edges per partition
+    beyond it."""
+    from dask_expr_rapids_spark.operators.graph import (
+        _EDGES_PER_PARTITION,
+        _loop_partitions,
+    )
+
+    assert _loop_partitions(0) == 8
+    assert _loop_partitions(1_000) == 8
+    assert _loop_partitions(8 * _EDGES_PER_PARTITION) == 8
+    assert _loop_partitions(9 * _EDGES_PER_PARTITION) == 9
+    # 100 TB posture: billions of edges → thousands of tasks per round
+    assert _loop_partitions(5_000_000_000) == 2000
+    # monotone in edge count
+    sizes = [_loop_partitions(n) for n in (0, 10**6, 10**8, 10**9, 10**10)]
+    assert sizes == sorted(sizes)
+
+
 def test_hash_sample_deterministic_under_repartition(spark):
     """Membership is a pure function of the key: any partitioning of the
     same rows yields the SAME sample — the reproducibility contract
