@@ -244,3 +244,223 @@ def ivf_topk(
         .filter(F.col("__rn__") <= k)
         .drop("__rn__")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale ANN path (Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011).  IVF
+# prunes WHICH vectors are scanned; PQ shrinks WHAT is scanned: a dim-D
+# vector becomes m one-byte codes (D=64 → 8 bytes vs 256), so a 100 TB
+# embedding corpus compresses ~30× and candidate scoring reads codes, not
+# vectors.  Asymmetric distance computation (ADC): each probe precomputes
+# a per-subspace lookup table against the codebooks; scoring a candidate
+# is m array lookups — no per-pair vector math.
+# --------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Deterministic per-subspace Lloyd codebooks:
+    ``codebooks[sub][code] = quantized centroid (dim/m ints)``.
+
+    The codebook relation is m × ksub × (dim/m) integers — driver-tiny by
+    construction (like any k-means quantizer, centroids round-trip through
+    the driver per iteration; Spark MLlib's KMeans does the same).  The
+    CORPUS is only scanned: assignment is a pure per-row projection against
+    centroid literals (no join, no shuffle), and the centroid update is one
+    map-side-combinable (sub, code, dim) mean agg per iteration.  Exact
+    integer means via DECIMAL sums + floor division (order-independent —
+    the cluster_sums overflow lesson).
+
+    Init is seedless: code c of subspace j starts at the (c+1)-th
+    lowest-id vector's j-th subvector.
+    """
+    if iters < 1:
+        raise ValueError("pq_train requires iters >= 1")
+    q = corpus.select(F.col(id_col).alias("__id__"), quantize(F.col(vec_col)).alias("__qv__"))
+    first = q.select(F.size("__qv__").alias("d")).first()
+    if first is None:
+        raise ValueError("pq_train: empty corpus")
+    dim = first["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ds = dim // m
+    seed_rows = q.orderBy(F.asc("__id__")).limit(ksub).collect()
+    if len(seed_rows) < ksub:
+        raise ValueError(f"pq_train: need >= ksub={ksub} vectors, got {len(seed_rows)}")
+    books = [
+        [list(seed_rows[c]["__qv__"][j * ds : (j + 1) * ds]) for c in range(ksub)]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        codes = _pq_codes_expr(books, ds)
+        # the codes projection and the generator live in SEPARATE selects:
+        # Spark's ExtractGenerator rewrite of a Project containing a
+        # generator re-plans sibling expressions pre-name-resolution,
+        # dropping the argmin structs' field names (FIELD_NOT_FOUND `c`)
+        per_dim = (
+            q.select(codes.alias("__codes__"), "__qv__")
+            .select("__codes__", F.posexplode("__qv__").alias("u", "x"))
+            .select(
+                (F.col("u") / ds).cast("int").alias("sub"),
+                F.element_at("__codes__", (F.col("u") / ds).cast("int") + 1).alias("code"),
+                (F.col("u") % ds).alias("i"),
+                "x",
+            )
+            .groupBy("sub", "code", "i")
+            .agg(
+                F.floor(
+                    F.sum(F.col("x").cast("decimal(28,0)")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("mean")
+            )
+            .collect()
+        )
+        new = [[list(books[j][c]) for c in range(ksub)] for j in range(m)]
+        for r in per_dim:  # empty codes keep their previous centroid
+            new[r["sub"]][r["code"]][r["i"]] = int(r["mean"])
+        books = new
+    return books
+
+
+def _pq_sub_d2(books: list[list[list[int]]], j: int, c: int, ds: int) -> Column:
+    """Squared L2 between a row's j-th quantized subvector and codebook
+    entry (j, c) — a flat integer expression over element_at, fully inside
+    whole-stage codegen."""
+    terms = [
+        (F.element_at("__qv__", j * ds + i + 1) - F.lit(books[j][c][i]))
+        * (F.element_at("__qv__", j * ds + i + 1) - F.lit(books[j][c][i]))
+        for i in range(ds)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _pq_codes_expr(books: list[list[list[int]]], ds: int) -> Column:
+    """array<int> of per-subspace nearest-codebook codes for the row's
+    ``__qv__`` — argmin via array_min over (distance, code) structs
+    (struct ordering = lexicographic, so ties break to the lowest code)."""
+    m, ksub = len(books), len(books[0])
+    return F.array(
+        *[
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _pq_sub_d2(books, j, c, ds).alias("d"),
+                            F.lit(c).alias("c"),
+                        )
+                        for c in range(ksub)
+                    ]
+                )
+            )["c"].cast("int")
+            for j in range(m)
+        ]
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    probe_id: str = "qid",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC cosine top-k with exact re-ranking: train codebooks, encode the
+    corpus to m codes (+ a reconstructed-norm column), build per-probe
+    dot-product lookup tables, score candidates with m integer lookups
+    each, then re-score the per-probe ADC shortlist (k × ``rerank``
+    candidates) against the TRUE vectors — the standard IVFADC+R shape:
+    quantization error decides only which ~4k rows reach the exact pass,
+    not the final ranking.
+
+    Scale shape: the encoded corpus is the only big relation (id + m
+    bytes + one bigint — this IS the compressed index you'd persist);
+    probes ride broadcast with their tables; ADC scoring is a narrow
+    projection; the exact pass touches probes × k × rerank rows — a
+    semi-join-sized fetch from the full-vector store, never a scan.  No
+    corpus shuffle anywhere.  ``rerank=0`` returns raw ADC scores.
+    """
+    books = pq_train(corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
+    ds = len(books[0][0])
+    q = corpus.select(F.col(id_col), quantize(F.col(vec_col)).alias("__qv__"))
+    # reconstructed squared norm = sum of codebook-entry norms (exact ints)
+    cn2 = [[sum(v * v for v in books[j][c]) for c in range(len(books[0]))] for j in range(m)]
+    enc = q.select(
+        F.col(id_col),
+        _pq_codes_expr(books, ds).alias("__codes__"),
+    ).withColumn(
+        "__rn2__",
+        sum(
+            F.element_at(F.array(*[F.lit(x) for x in cn2[j]]), F.col("__codes__")[j] + 1)
+            for j in range(m)
+        ),
+    )
+    # per-probe ADC tables: table[j][c] = dot(probe subvector j, codebook[j][c])
+    p = probes.select(F.col(probe_id), quantize(F.col(vec_col)).alias("__qv__"))
+    dot_jc = [
+        [
+            sum(
+                (F.element_at("__qv__", j * ds + i + 1) * F.lit(books[j][c][i]))
+                for i in range(ds)
+            )
+            for c in range(len(books[0]))
+        ]
+        for j in range(m)
+    ]
+    pt = p.select(
+        F.col(probe_id),
+        norm2_q(F.col("__qv__")).alias("__pn2__"),
+        *[F.array(*dot_jc[j]).alias(f"__t{j}__") for j in range(m)],
+    )
+    scored = enc.join(F.broadcast(pt), F.col(id_col) != F.col(probe_id)).select(
+        probe_id,
+        id_col,
+        (
+            sum(
+                F.element_at(f"__t{j}__", F.col("__codes__")[j] + 1) for j in range(m)
+            ).cast("double")
+            / (
+                F.sqrt(F.col("__pn2__").cast("double"))
+                * F.sqrt(F.col("__rn2__").cast("double"))
+            )
+        ).alias("pq_cosine"),
+    )
+    w = W.partitionBy(probe_id).orderBy(F.desc("pq_cosine"), F.asc(id_col))
+    if not rerank:
+        return (
+            scored.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= k)
+            .drop("__rn__")
+        )
+    shortlist = (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k * rerank)
+        .select(probe_id, id_col)
+    )
+    # exact pass: fetch true vectors for the shortlist only (broadcast —
+    # probes × k × rerank rows), score with the exact integer cosine
+    exact = (
+        q.join(F.broadcast(shortlist), id_col)
+        .join(F.broadcast(p.select(F.col(probe_id), F.col("__qv__").alias("__qp__"))), probe_id)
+        .select(probe_id, id_col, cosine_q(F.col("__qp__"), F.col("__qv__")).alias("pq_cosine"))
+    )
+    we = W.partitionBy(probe_id).orderBy(F.desc("pq_cosine"), F.asc(id_col))
+    return (
+        exact.withColumn("__rn__", F.row_number().over(we))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )

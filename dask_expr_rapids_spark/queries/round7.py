@@ -1,0 +1,346 @@
+"""Round-7 curation operators: corpus-frequency lexical scoring,
+cross-source vocabulary overlap, raw-text source/sink fidelity, and
+product-quantization ANN.
+
+Not in the reference (its surface is the pandas algebra,
+``/root/reference/dask_expr/_collection.py``); these extend the LLM-data
+pipeline layer (SURVEY.md §7 phase 4).
+
+Scale notes (100 TB posture), per query:
+
+* lexical rarity — the naive plan joins the exploded word stream against
+  per-word counts: corpus-scaling on BOTH join sides, stopword-skewed.
+  This plan aggregates to (source, word) counts FIRST (map-side
+  combinable, the only corpus-wide shuffle), so the frequency join runs
+  on two vocabulary-sized relations — sublinear in the corpus.
+* vocab overlap — all joins are on the distinct (source, word) relation;
+  per-word fan-out is bounded by n_sources², never by corpus rows.
+* text roundtrip — write/scan are executor-parallel; fidelity is proven
+  by an order-independent checksum (sum of per-line md5 prefixes), no
+  driver-side content staging.
+* PQ ANN — the encoded corpus is id + m codes + one bigint (the ~30×
+  compressed index you'd persist at 100 TB); scoring is m integer
+  lookups per candidate; no corpus shuffle (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import pround, pround_expr
+from ..sources.tables import load_table, read_text, spread, to_text
+from .registry import register
+from .text import _md5_uint_sql
+
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+_WORDS_SQL = f"""
+  words AS (
+    SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS w
+    FROM documents WHERE trim(text) <> ''
+  )
+"""
+
+
+# --------------------------------------------------------------------------
+# Lexical rarity scoring: mean corpus-frequency of a source's word
+# occurrences — the RNG-free cousin of unigram log-prob quality filters
+# (rare-word-heavy sources score low, boilerplate-heavy sources score
+# high).  Exact integer accumulation end-to-end: counts are ints, the
+# weight sum is an exact decimal/hugeint, and only the final mean becomes
+# a (pround-quantized) double.
+# --------------------------------------------------------------------------
+@register(
+    "lexical_rarity_by_source",
+    f"""
+    WITH {_WORDS_SQL},
+    csw AS (SELECT source, w, COUNT(*) AS c FROM words GROUP BY source, w),
+    cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM csw GROUP BY w)
+    SELECT csw.source,
+           CAST(SUM(csw.c) AS BIGINT) AS n_words,
+           COUNT(*) AS vocab_size,
+           {pround_expr('CAST(SUM(csw.c * cw.cw) AS DOUBLE) / CAST(SUM(csw.c) AS DOUBLE)', 4)}
+             AS avg_word_corpus_count
+    FROM csw JOIN cw ON csw.w = cw.w
+    GROUP BY csw.source
+    """,
+)
+def lexical_rarity_by_source(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    words = d.filter(F.trim("text") != "").select(
+        "source", F.explode(F.split(norm, " ")).alias("w")
+    )
+    # the ONLY corpus-wide shuffle: (source, word) counts, partial-agg'd
+    # map-side; everything downstream is vocabulary-sized
+    csw = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    from .registry import cache_scoped
+
+    csw = cache_scoped(csw)
+    cw = csw.groupBy("w").agg(F.sum("c").alias("cw"))
+    j = csw.join(cw, "w")
+    return j.groupBy("source").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        pround(
+            F.sum(
+                (F.col("c") * F.col("cw")).cast("decimal(28,0)")
+            ).cast("double")
+            / F.sum("c").cast("double"),
+            4,
+        ).alias("avg_word_corpus_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source vocabulary overlap: pairwise jaccard between the word
+# vocabularies of every source pair — the corpus-composition diagnostic a
+# data-mix designer reads before setting sampling rates (two sources with
+# jaccard ≈ 1 are redundant; ≈ 0 add coverage).
+# --------------------------------------------------------------------------
+@register(
+    "cross_source_vocab_overlap",
+    f"""
+    WITH {_WORDS_SQL},
+    vocab AS (SELECT DISTINCT source, w FROM words),
+    sizes AS (SELECT source, COUNT(*) AS v FROM vocab GROUP BY source),
+    shared AS (
+      SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_shared
+      FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s1, s2, n_shared,
+           sa.v AS v1, sb.v AS v2,
+           {pround_expr('CAST(n_shared AS DOUBLE) / CAST(sa.v + sb.v - n_shared AS DOUBLE)', 6)}
+             AS jaccard
+    FROM shared JOIN sizes sa ON s1 = sa.source JOIN sizes sb ON s2 = sb.source
+    """,
+)
+def cross_source_vocab_overlap(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    vocab = (
+        d.filter(F.trim("text") != "")
+        .select("source", F.explode(F.split(norm, " ")).alias("w"))
+        .distinct()
+    )
+    from .registry import cache_scoped
+
+    vocab = cache_scoped(vocab)
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = vocab.select(F.col("source").alias("s1"), "w")
+    b = vocab.select(F.col("source").alias("s2"), "w")
+    shared = (
+        a.join(b, ["w"])
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(sizes.select(F.col("source").alias("s1"), F.col("v").alias("v1")), "s1")
+        .join(sizes.select(F.col("source").alias("s2"), F.col("v").alias("v2")), "s2")
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("v1") + F.col("v2") - F.col("n_shared")
+    ).cast("double")
+    return out.select(
+        "s1", "s2", "n_shared", "v1", "v2", pround(jac, 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Raw-text source/sink roundtrip — the ingest format of an LLM corpus
+# (one document per line).  The oracle aggregates the ORIGINAL documents
+# table with the identical newline normalization, so a hash match proves
+# write→read fidelity including an order-independent CONTENT checksum
+# (sum of per-line md5 prefixes), not just counts.
+# --------------------------------------------------------------------------
+@register(
+    "text_roundtrip_documents",
+    f"""
+    WITH lines AS (
+      SELECT regexp_replace(text, '[\\n\\r]+', ' ', 'g') AS value FROM documents
+    )
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(len(value)) AS BIGINT) AS total_chars,
+           CAST(SUM({_md5_uint_sql('value', 8)}) AS BIGINT) AS content_checksum
+    FROM lines
+    """,
+)
+def text_roundtrip_documents(spark, sf_dir):
+    from ..scratch import scratch_dir
+
+    d = load_table(spark, sf_dir, "documents")
+    lines = d.select(
+        F.regexp_replace("text", "[\\n\\r]+", " ").alias("value")
+    )
+    path = scratch_dir("spark_graft_txt_")
+    to_text(lines, path + "/docs_txt")
+    back = read_text(spark, path + "/docs_txt")
+    checksum = F.conv(F.substring(F.md5("value"), 1, 8), 16, 10).cast("long")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.sum(checksum).alias("content_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PQ ANN: asymmetric-distance cosine top-k over product-quantized codes —
+# the memory-scale path of the ANN family (brute = exact baseline, IVF =
+# scan pruning, LSH = candidate bucketing, PQ = index compression).  No
+# SQL twin: the codebooks come from an iterative Lloyd quantizer that is
+# not reasonably SQL-expressible, so the driver records the rows-only
+# check; exactness of the machinery is pinned by the recall test against
+# brute force (tests/test_scale_ops.py).
+# --------------------------------------------------------------------------
+@register("ann_pq_cosine_topk", None)
+def ann_pq_cosine_topk(spark, sf_dir):
+    from ..operators.similarity import pq_topk
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = pq_topk(e, probes, k=5, m=8, ksub=16, iters=2, rerank=8)
+    w = W.partitionBy("qid").orderBy(F.desc("pq_cosine"), F.asc("vec_id"))
+    return out.select(
+        "qid", "vec_id", F.row_number().over(w).alias("rank"),
+        pround(F.col("pq_cosine"), 6).alias("pq_cosine"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mergeable binned quantiles: fixed-width histogram counts → cumulative
+# ranks → per-quantile bin upper edges.  The deterministic, mergeable
+# cousin of t-digest/percentile_approx for 100 TB telemetry: bin counts
+# are a map-side-combinable agg you can persist per file/partition/day and
+# MERGE exactly (sums), unlike engine-specific sketch internals — and two
+# engines agree bit-for-bit, which percentile_approx never does.  Error is
+# bounded by the bin width (0.25 here) instead of a sketch guarantee.
+# --------------------------------------------------------------------------
+@register(
+    "binned_quantiles_event_value",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(floor(value * 4) AS BIGINT) AS bin, COUNT(*) AS c
+      FROM events GROUP BY event_type, CAST(floor(value * 4) AS BIGINT)
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM b
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= ceil(0.50 * n) THEN bin + 1 END) AS DOUBLE) / 4.0 AS p50_est,
+           CAST(MIN(CASE WHEN cum >= ceil(0.95 * n) THEN bin + 1 END) AS DOUBLE) / 4.0 AS p95_est,
+           CAST(MIN(CASE WHEN cum >= ceil(0.99 * n) THEN bin + 1 END) AS DOUBLE) / 4.0 AS p99_est
+    FROM cum GROUP BY event_type
+    """,
+)
+def binned_quantiles_event_value(spark, sf_dir):
+    e = spread(load_table(spark, sf_dir, "events"))
+    b = (
+        e.select("event_type", F.floor(F.col("value") * 4).cast("bigint").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = W.partitionBy("event_type").orderBy("bin")
+    wn = W.partitionBy("event_type")
+    cum = b.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+
+    def est(q):
+        return (
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bin") + 1)
+            ).cast("double")
+            / 4.0
+        )
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        est(0.50).alias("p50_est"),
+        est(0.95).alias("p95_est"),
+        est(0.99).alias("p99_est"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental ingest dedup: the production shape where a fingerprint STORE
+# already exists and only the incoming batch is checked against it — a
+# left-anti join on fingerprints, never a full-corpus re-dedup.  Here the
+# store/incoming split is the md5-uniform 90/10 assignment (RNG-free,
+# repartition-stable), so both engines derive the identical partition.
+# Per source: incoming volume, exact duplicates of the store, duplicates
+# within the batch itself, and the net-new unique docs you would admit.
+# --------------------------------------------------------------------------
+from ..operators.sampling import hash_uniform, hash_uniform_sql  # noqa: E402
+
+_FP_SQL = f"md5({_NORM_SQL})"
+
+
+@register(
+    "dedup_incremental_new_docs",
+    f"""
+    WITH tagged AS (
+      SELECT source, doc_id, {_FP_SQL} AS fp,
+             ({hash_uniform_sql('doc_id')}) < 0.9 AS in_store
+      FROM documents
+    ),
+    store_fp AS (SELECT DISTINCT fp FROM tagged WHERE in_store),
+    incoming AS (
+      SELECT t.source, t.doc_id, t.fp,
+             (s.fp IS NOT NULL) AS dup_store,
+             MIN(t.doc_id) OVER (PARTITION BY t.fp) AS first_in_batch
+      FROM tagged t LEFT JOIN store_fp s ON t.fp = s.fp
+      WHERE NOT t.in_store
+    )
+    SELECT source,
+           COUNT(*) AS n_incoming,
+           CAST(SUM(CASE WHEN dup_store THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_store,
+           CAST(SUM(CASE WHEN NOT dup_store AND doc_id <> first_in_batch
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_within_batch,
+           CAST(SUM(CASE WHEN NOT dup_store AND doc_id = first_in_batch
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new_unique
+    FROM incoming GROUP BY source
+    """,
+)
+def dedup_incremental_new_docs(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    tagged = d.select(
+        "source",
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        (hash_uniform(F.col("doc_id")) < 0.9).alias("in_store"),
+    )
+    from .registry import cache_scoped
+
+    tagged = cache_scoped(tagged)
+    store_fp = tagged.filter("in_store").select("fp").distinct()
+    incoming = tagged.filter(~F.col("in_store"))
+    # both sides scale with the corpus — left join (not anti) so dup-vs-store
+    # and within-batch stats come from ONE pass; fp equi-join, one shuffle
+    j = incoming.join(
+        store_fp.withColumn("__hit__", F.lit(1)), "fp", "left"
+    ).withColumn(
+        "first_in_batch", F.min("doc_id").over(W.partitionBy("fp"))
+    )
+    dup_store = F.col("__hit__").isNotNull()
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum(F.when(dup_store, 1).otherwise(0)).alias("n_dup_vs_store"),
+        F.sum(
+            F.when(~dup_store & (F.col("doc_id") != F.col("first_in_batch")), 1).otherwise(0)
+        ).alias("n_dup_within_batch"),
+        F.sum(
+            F.when(~dup_store & (F.col("doc_id") == F.col("first_in_batch")), 1).otherwise(0)
+        ).alias("n_new_unique"),
+    )

@@ -237,38 +237,40 @@ _MH_A = [1_000_003 * (j + 1) + 12_345 for j in range(_K)]
 _MH_B = [999_983 * (j + 1) * (j + 1) + 54_321 for j in range(_K)]
 
 
-def _md5_u32_sql(expr: str, off: int = 0) -> str:
-    """DuckDB arithmetic for Spark's conv(substr(md5(expr),off+1,8),16,10)."""
+def _md5_uint_sql(expr: str, nchars: int = 8) -> str:
+    """DuckDB arithmetic for Spark's conv(substr(md5(expr),1,nchars),16,10)
+    (DuckDB has no conv; nchars ≤ 15 keeps the value < 2⁶⁰, exact BIGINT)."""
     return (
         "("
         + " + ".join(
-            f"(strpos('0123456789abcdef', substr(md5({expr}), {off + i + 1}, 1)) - 1)"
-            f" * {16 ** (7 - i)}"
-            for i in range(8)
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (nchars - 1 - i)}"
+            for i in range(nchars)
         )
         + ")"
     )
 
 
-# Verification-payload hash: 63-bit (31 high bits from md5 hex chars 9-16 +
-# the same 32-bit g32 word) — still ONE md5 per shingle, but cross-doc
-# collisions at 32 bits could inflate the exact-jaccard intersection near
-# the 0.2 threshold identically in both engines (round-5 advice); at 63
-# bits a pair of length-bounded docs collides with probability ~n²/2⁶³ —
-# negligible.  The minhash SIGNATURE keeps using g32 (LSH is approximate
-# by construction; 32-bit mixing is part of its published configuration).
-_G64_SQL = (
-    f"(({_md5_u32_sql('g', 8)} % 2147483648) * 4294967296 + {_md5_u32_sql('g')})"
-)
+# Verification-payload hash: 60 bits (first 15 md5 hex chars, ONE conv per
+# shingle — same digest count as the r5 fast path).  32-bit payloads could
+# collide cross-doc and inflate the exact-jaccard intersection near the
+# 0.2 threshold identically in both engines (round-5 advice); at 60 bits a
+# pair of length-bounded docs collides with probability ~n²/2⁶⁰ —
+# negligible.  The minhash SIGNATURE keeps the published 32-bit mixing
+# configuration: its word is the TOP 32 bits, g32 = g60 >> 28 — bit-equal
+# to conv(substr(md5,1,8)) in both engines (integer floor division in
+# SQL), so signatures are unchanged from every prior round.
+_G60_SQL = _md5_uint_sql("g", 15)
 
 _GRAMS_SQL = f"""
   norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
   grams AS (
-    SELECT DISTINCT doc_id, g, {_md5_u32_sql('g')} AS g32, {_G64_SQL} AS g64
-    FROM (SELECT doc_id, substr(t, CAST(u AS INT), {_NGRAM}) AS g
-          FROM (SELECT doc_id, t,
-                       unnest(range(1, greatest(len(t) - {_NGRAM - 1}, 1) + 1)) AS u
-                FROM norm))
+    SELECT DISTINCT doc_id, g, g60, (g60 // 268435456) AS g32
+    FROM (SELECT doc_id, g, {_G60_SQL} AS g60
+          FROM (SELECT doc_id, substr(t, CAST(u AS INT), {_NGRAM}) AS g
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t) - {_NGRAM - 1}, 1) + 1)) AS u
+                      FROM norm)))
   )
 """
 
@@ -295,8 +297,8 @@ _NEARDUP_SQL = f"""
     mh AS (
       SELECT doc_id,
            {_MINHASH_COLS_SQL},
-           COUNT(DISTINCT g64) AS n,
-           list(DISTINCT g64) AS gset
+           COUNT(DISTINCT g60) AS n,
+           list(DISTINCT g60) AS gset
       FROM grams GROUP BY doc_id
     ),
     sigs AS (SELECT doc_id, {_BAND_KEYS_SQL} FROM mh),
@@ -355,23 +357,21 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
     # verification) and its size — min/collect_set are duplicate-insensitive
     # so no separate distinct() shuffle is needed, and downstream joins are
     # all on n_docs-sized relations, never on exploded gram rows.  The
-    # verification set holds 63-bit gram hashes (hi 31 bits ∥ g32 — see the
-    # _G64_SQL note), not the gram strings: both engines derive g64 from
-    # the same single md5, so exact-jaccard-over-hashes is engine-agreed,
-    # collision inflation is ~n²/2⁶³ (negligible, vs real at 32 bits), and
-    # the cached/shuffled payload stays a slim long array with
-    # array_intersect on longs.  Docs are length-bounded, so collect_set
-    # stays small; for unbounded docs cap the shingle count upstream.
-    # Persisted: three consumers (bands self-join, both sides of
-    # verification) would otherwise recompute the lineage.
-    m = F.md5("g")
-    g32 = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
-    g64 = (
-        F.conv(F.substring(m, 9, 8), 16, 10).cast("long") % F.lit(2147483648)
-    ) * F.lit(4294967296) + g32
+    # verification set holds 60-bit gram hashes (first 15 md5 hex chars,
+    # see the _G60_SQL note), not the gram strings: both engines derive
+    # g60 from the same single md5, so exact-jaccard-over-hashes is
+    # engine-agreed, collision inflation is ~n²/2⁶⁰ (negligible, vs real
+    # at 32 bits), and the cached/shuffled payload stays a slim long array
+    # with array_intersect on longs.  The signature word g32 = g60 >> 28
+    # (top 32 bits = the historical conv(substr(md5,1,8)) — one conv per
+    # shingle total, signatures unchanged).  Docs are length-bounded, so
+    # collect_set stays small; for unbounded docs cap the shingle count
+    # upstream.  Persisted: three consumers (bands self-join, both sides
+    # of verification) would otherwise recompute the lineage.
+    g60 = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
     mh = (
-        grams.withColumn("g32", g32)
-        .withColumn("g64", g64)
+        grams.withColumn("g60", g60)
+        .withColumn("g32", F.shiftright("g60", 28))
         .groupBy("doc_id")
         .agg(
             *[
@@ -380,7 +380,7 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
                 )
                 for j in range(_K)
             ],
-            F.collect_set("g64").alias("gset"),
+            F.collect_set("g60").alias("gset"),
         )
         .withColumn("n", F.size("gset"))
     )

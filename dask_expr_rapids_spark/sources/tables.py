@@ -126,6 +126,24 @@ def to_orc(
     writer.orc(path)
 
 
+def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFrame:
+    """Raw-text scan → one ``value: string`` row per line (or per file with
+    ``wholetext=True``) — the ingest format of an LLM corpus before any
+    structure exists.  Splittable per-file; schema is fixed so nothing is
+    inferred.  Extension beyond the reference's io surface
+    (``/root/reference/dask_expr/io/``)."""
+    return spark.read.option("wholetext", str(wholetext).lower()).text(path)
+
+
+def to_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Raw-text sink: exactly one string column, one line per row,
+    executor-parallel.  Rows must not contain newlines (they would split
+    on read-back) — normalize upstream; this sink writes verbatim."""
+    if len(df.columns) != 1:
+        raise ValueError(f"to_text requires exactly one column, got {df.columns}")
+    df.write.mode(mode).text(path)
+
+
 def from_pandas(spark: SparkSession, pdf: pd.DataFrame, npartitions: int | None = None) -> DataFrame:
     df = spark.createDataFrame(pdf)
     return df.repartition(npartitions) if npartitions else df

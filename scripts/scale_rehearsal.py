@@ -69,6 +69,18 @@ HEADLINE = [
     # training-pipeline set (documents 10×)
     "dataset_split_assign",
     "decontaminate_train_eval",
+    # round-6 curation additions (first >sf0.01 measurement, r5 verdict #6)
+    "quality_repetition_signals",
+    "token_piece_stats",
+    "pii_scrub_stats",
+    "pack_sequences_greedy",
+    "semantic_prune_prototypes",
+    "domain_mix_resample",
+    "length_decile_stats",
+    "boilerplate_gram_stats",
+    "chunk_documents_stats",
+    "profile_lineitem_columns",
+    "stream_trending_event_types",
 ]
 
 
@@ -177,11 +189,29 @@ def make_events(rng: np.random.Generator) -> None:
     pq.write_table(tbl, os.path.join(OUT, "events.parquet"))
 
 
+def make_lineitem() -> None:
+    """10×SCALE lineitem by replicating the driver's sf0.1 table with
+    offset order keys — value distributions identical, volume scaled, so
+    scan-bound profiling queries rehearse real row counts."""
+    import duckdb
+
+    reps = 10 * SCALE
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT l.* REPLACE (l_orderkey + r * 10000000 AS l_orderkey)
+          FROM read_parquet('{SRC}/lineitem.parquet') l, range({reps}) t(r)
+        ) TO '{os.path.join(OUT, "lineitem.parquet")}' (FORMAT PARQUET)
+        """
+    )
+
+
 def main() -> None:
     if not (
         os.path.exists(os.path.join(OUT, "documents.parquet"))
         and os.path.exists(os.path.join(OUT, "embeddings.parquet"))
         and os.path.exists(os.path.join(OUT, "events.parquet"))
+        and os.path.exists(os.path.join(OUT, "lineitem.parquet"))
     ):
         os.makedirs(OUT, exist_ok=True)
         rng = np.random.default_rng(SEED)
@@ -189,6 +219,7 @@ def main() -> None:
         make_documents(rng)
         make_embeddings(rng)
         make_events(rng)
+        make_lineitem()
         print(f"generated sf1 data in {time.time() - t0:.1f}s -> {OUT}")
 
     from dask_expr_rapids_spark.queries import queries

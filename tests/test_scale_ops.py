@@ -95,6 +95,35 @@ def test_ivf_recall_with_kmeans_clusters(spark):
     assert recall >= 0.5, f"IVF recall collapsed: {recall}"
 
 
+def test_pq_recall_and_determinism(spark):
+    """PQ/ADC top-k must (a) recover a solid fraction of the exact top-k —
+    a compressed index that retrieves noise is worthless — and (b) be
+    bit-stable across invocations (integer codebooks + integer lookup
+    tables; the only doubles are the final cosine divisions)."""
+    from dask_expr_rapids_spark.operators.similarity import pq_topk
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in brute_force_topk(e, probes, k=5).collect()
+    }
+    got1 = sorted(
+        (r["qid"], r["vec_id"], r["pq_cosine"])
+        for r in pq_topk(e, probes, k=5, m=8, ksub=16, iters=2, rerank=8).collect()
+    )
+    approx = {(q, v) for q, v, _ in got1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall collapsed: {recall}"
+    got2 = sorted(
+        (r["qid"], r["vec_id"], r["pq_cosine"])
+        for r in pq_topk(e, probes, k=5, m=8, ksub=16, iters=2, rerank=8).collect()
+    )
+    assert got1 == got2  # deterministic end-to-end
+
+
 def test_embedding_dedup_bucket_fanout_bounded(spark):
     """The banded-LSH candidate stage caps every (band, bkey) bucket, so
     per-bucket self-join work is <= cap^2 under ANY key skew — the 100-TB
