@@ -238,3 +238,51 @@ def embedding_centroids(spark, sf_dir):
         )
         .select("label", F.col("pos").cast("int").alias("pos"), "centroid")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF over the ACTUAL 100 TB layout: the corpus materialized as a
+# hive-partitioned parquet store (one directory per coarse cluster), so
+# the routed stage-2 search is a partition-PRUNED scan — Spark's dynamic
+# partition pruning turns the broadcast routing relation into a runtime
+# partition filter, and only nprobe/nclusters of the store's files are
+# read.  Same semantics (and the same oracle) as ann_ivf_cosine_topk; the
+# difference under test is the STORAGE-side plan shape, pinned by
+# tests/test_plans.py::test_ivf_partitioned_store_prunes.
+# The store is built once per (process, sf_dir) — the "build the index
+# once, query it many times" contract of a vector store.
+# --------------------------------------------------------------------------
+_IVF_STORES: dict[str, str] = {}
+
+
+def _ivf_store_path(spark, sf_dir: str) -> str:
+    path = _IVF_STORES.get(sf_dir)
+    if path is None:
+        import os
+
+        from ..scratch import scratch_dir
+
+        path = os.path.join(scratch_dir("spark_graft_ivf_store_"), "embeddings_by_label")
+        (
+            load_table(spark, sf_dir, "embeddings")
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(path)
+        )
+        _IVF_STORES[sf_dir] = path
+    return path
+
+
+@register("ann_ivf_partitioned_store", _IVF_SQL)
+def ann_ivf_partitioned_store(spark, sf_dir):
+    from ..functions.exact import pround
+    from ..operators.similarity import ivf_topk
+
+    store = spark.read.parquet(_ivf_store_path(spark, sf_dir))
+    probes = store.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ivf_topk(store, probes, k=_TOPK, nprobe=_NPROBE)
+    return out.select(
+        "qid", F.col("vec_id").alias("nid"), pround(F.col("cosine"), 6).alias("cosine")
+    )

@@ -222,3 +222,14 @@ def test_minhash_survivors_join_stays_shuffle(spark):
     a broadcast build side (sf10 rehearsal lesson)."""
     plan = plan_of(REGISTRY["dedup_minhash_survivors"].fn(spark, SF_DIR))
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ivf_partitioned_store_prunes(spark):
+    """The partitioned-vector-store IVF query must trigger dynamic
+    partition pruning on the store scan: the routed (probe, cluster)
+    relation becomes a runtime partition filter, so stage 2 reads
+    nprobe/nclusters of the store's files — the storage contract the
+    100 TB layout depends on."""
+    plan = plan_of(REGISTRY["ann_ivf_partitioned_store"].fn(spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters" in plan
