@@ -344,3 +344,40 @@ def dedup_incremental_new_docs(spark, sf_dir):
             F.when(~dup_store & (F.col("doc_id") == F.col("first_in_batch")), 1).otherwise(0)
         ).alias("n_new_unique"),
     )
+
+
+# --------------------------------------------------------------------------
+# Small-files compaction fidelity: fragment the documents table into 64
+# tiny files (the streaming-sink / per-partition-writer failure mode),
+# compact to size-targeted files (sources/compaction.py), and prove the
+# rewrite byte-exact via row count + char volume + an order-independent
+# content checksum against the ORIGINAL table.  File-count mechanics
+# (before ≫ after, after = ceil(bytes/target)) are pinned by
+# tests/test_sources.py-style assertions in tests/test_scale_ops.py.
+# --------------------------------------------------------------------------
+@register(
+    "compaction_roundtrip_documents",
+    f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM({_md5_uint_sql('text', 8)}) AS BIGINT) AS content_checksum
+    FROM documents
+    """,
+)
+def compaction_roundtrip_documents(spark, sf_dir):
+    import os
+
+    from ..scratch import scratch_dir
+    from ..sources.compaction import compact_parquet
+
+    d = load_table(spark, sf_dir, "documents")
+    root = scratch_dir("spark_graft_compact_")
+    frag = os.path.join(root, "fragmented")
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    back = compact_parquet(spark, frag, os.path.join(root, "compacted"))
+    checksum = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(checksum).alias("content_checksum"),
+    )

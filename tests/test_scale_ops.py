@@ -256,3 +256,30 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
         assert got == want, f"trial {trial}: {sorted(set(got.items()) ^ set(want.items()))}"
+
+
+def test_compaction_sizes_from_measured_bytes(spark, tmp_path):
+    """compact_parquet must fold a fragmented dataset into
+    ceil(bytes/target) files — sized from the measured input, never a
+    constant — while the data survives byte-exact (query oracle covers
+    content; this pins the file mechanics)."""
+    from dask_expr_rapids_spark.sources.compaction import (
+        compact_parquet,
+        dataset_bytes,
+        dataset_file_count,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    frag = str(tmp_path / "frag")
+    d.repartition(32).write.parquet(frag)
+    assert dataset_file_count(spark, frag) == 32
+    total = dataset_bytes(spark, frag)
+    out = str(tmp_path / "out")
+    back = compact_parquet(spark, frag, out, target_bytes=128 << 20)
+    assert dataset_file_count(spark, out) == max(1, -(-total // (128 << 20)))
+    assert back.count() == d.count()
+    # a tiny target forces MULTIPLE output files, still ceil(bytes/target)
+    small_target = max(1, total // 3)
+    out2 = str(tmp_path / "out2")
+    compact_parquet(spark, frag, out2, target_bytes=small_target)
+    assert dataset_file_count(spark, out2) == -(-total // small_target)
