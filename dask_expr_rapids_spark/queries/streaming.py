@@ -157,3 +157,68 @@ def stream_trending_event_types(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("window_start", "event_type", "n", "rk")
     )
+
+
+@register(
+    "stream_binned_quantiles_value",
+    """
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             CAST(floor(value * 4) AS BIGINT) AS bin,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT window_start, bin, c,
+             SUM(c) OVER (PARTITION BY window_start ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY window_start) AS n
+      FROM b
+    )
+    SELECT window_start, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= ceil(0.50 * n) THEN bin + 1 END) AS DOUBLE) / 4.0 AS p50_est,
+           CAST(MIN(CASE WHEN cum >= ceil(0.95 * n) THEN bin + 1 END) AS DOUBLE) / 4.0 AS p95_est
+    FROM cum GROUP BY window_start
+    """,
+)
+def stream_binned_quantiles_value(spark, sf_dir):
+    """Per-hour value quantiles ON A STREAM via the mergeable-bin split:
+    the STREAMING job maintains only (window, bin) counts — watermark-
+    bounded, exactly mergeable across micro-batches by construction (the
+    same property that makes the batch twin binned_quantiles_event_value
+    persistable per day at 100 TB); the quantile finalization is a batch
+    window over the drained windows×bins relation (thousands of rows
+    where the input was billions).  Streaming DataFrames can't run the
+    rank/cumsum finalization — and don't need to."""
+    from pyspark.sql import Window as W
+
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "bin", F.floor(F.col("value") * 4).cast("bigint")
+    )
+    sink = f"stream_binq_{next(_sink_counter)}"
+    counts = run_available_now(
+        windowed_counts(stream, window="1 hour", watermark="2 hours", by="bin"),
+        sink,
+        output_mode="complete",
+    )
+    wc = W.partitionBy("window_start").orderBy("bin")
+    wn = W.partitionBy("window_start")
+    cum = counts.select(
+        "window_start",
+        "bin",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wn).alias("nt"),
+    )
+
+    def est(q):
+        return (
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("nt")), F.col("bin") + 1)
+            ).cast("double")
+            / 4.0
+        )
+
+    return cum.groupBy("window_start").agg(
+        F.max("nt").alias("n"),
+        est(0.50).alias("p50_est"),
+        est(0.95).alias("p95_est"),
+    )
