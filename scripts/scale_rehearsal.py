@@ -81,6 +81,15 @@ HEADLINE = [
     "chunk_documents_stats",
     "profile_lineitem_columns",
     "stream_trending_event_types",
+    # round-7 additions (first >sf0.01 measurement)
+    "lexical_rarity_by_source",
+    "cross_source_vocab_overlap",
+    "dedup_winnowing_fingerprints",
+    "dedup_incremental_new_docs",
+    "binned_quantiles_event_value",
+    "stream_binned_quantiles_value",
+    "ann_pq_cosine_topk",
+    "compaction_roundtrip_documents",
 ]
 
 
