@@ -664,3 +664,41 @@ def dedup_winnowing_fingerprints(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing pair graph → duplicate clusters: same composition as the
+# MinHash/SimHash cluster pipelines (pairs → distributed min-label CC →
+# per-component rollup), proving the CC operator composes over every pair
+# generator.  Oracle = recursive-CTE reachability over the identical pair
+# SQL.
+# --------------------------------------------------------------------------
+from .registry import REGISTRY as _REG  # noqa: E402
+
+_WINNOW_PAIRS_SQL = _REG["dedup_winnowing_fingerprints"].sql
+
+_WINNOW_CC_SQL = f"""
+    WITH RECURSIVE pairs AS ({_WINNOW_PAIRS_SQL}),
+    edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+    cc_nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, comp) AS (
+      SELECT node, node FROM cc_nodes
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    labels AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+    SELECT component, COUNT(*) AS n_members
+    FROM labels GROUP BY component
+"""
+
+
+@register("dedup_winnowing_components", _WINNOW_CC_SQL)
+def dedup_winnowing_components(spark, sf_dir):
+    from ..operators.graph import connected_components
+
+    pairs = dedup_winnowing_fingerprints(spark, sf_dir)
+    labels = connected_components(pairs, src="id1", dst="id2")
+    return labels.groupBy(F.col("comp").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
