@@ -21,6 +21,9 @@ from . import round3  # noqa: E402,F401
 from . import round5  # noqa: E402,F401
 from . import round6  # noqa: E402,F401
 from . import round7  # noqa: E402,F401
+from . import spans  # noqa: E402,F401
+from . import retrieval  # noqa: E402,F401
+from . import mutation  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import tpch_ext  # noqa: E402,F401
 from . import aggregates  # noqa: E402,F401

@@ -1,0 +1,174 @@
+"""Table-mutation semantics as pure relational plans: MERGE INTO (upsert)
+and slowly-changing-dimension type-2 history building.
+
+The reference has no mutation surface (its collections are immutable,
+``/root/reference/dask_expr/_collection.py``); warehouse engines express
+these as DML.  On Spark-without-a-lakehouse-format the same semantics are
+a union + keyed window — which is exactly how Delta/Iceberg execute the
+matched/not-matched branches under the hood (shuffle on the merge key),
+so the plan shape below IS the 100 TB plan:
+
+* upsert: base ∪ updates ∪ inserts, one row_number window partitioned by
+  the merge key (single shuffle).  No driver-side key set, no broadcast
+  of a corpus-scaling side; update/insert branches are computed
+  column-wise from the scan.
+* SCD2: the change-log union shuffles once on (key), then one window
+  (ORDER BY version) derives valid_from/valid_to/is_current with lead();
+  Exchange reuse keeps the union's shuffle as the window's input.
+
+Determinism: prices quantized with pround; version ordering is total
+(key, version) so lead() is unambiguous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import pround, pround_expr
+from ..sources.tables import load_table, spread
+from .registry import register
+
+
+@register(
+    "merge_upsert_orders",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             'base' AS src, 0 AS priority
+      FROM orders
+    ),
+    updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice,
+             'update' AS src, 1 AS priority
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    inserts AS (
+      SELECT -o_orderkey AS o_orderkey, 'I' AS o_orderstatus, o_totalprice,
+             'insert' AS src, 1 AS priority
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    unioned AS (
+      SELECT * FROM base UNION ALL
+      SELECT * FROM updates UNION ALL
+      SELECT * FROM inserts
+    ),
+    merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, src,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                ORDER BY priority DESC, src) AS rn
+      FROM unioned
+    )
+    SELECT o_orderkey, o_orderstatus, src,
+           {pround_expr('o_totalprice', 2)} AS o_totalprice
+    FROM merged WHERE rn = 1
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE INTO orders: matched keys (k%7=0) take the update branch,
+    unmatched update-side keys (synthesized as negative keys, k%13=0)
+    insert, everything else keeps the base row.
+
+    Plan: three scans of one cached orders relation union'd, one
+    row_number window on the merge key — the single-shuffle upsert.
+    """
+    o = spread(load_table(spark, sf_dir, "orders"))
+    from .registry import cache_scoped
+
+    o = cache_scoped(o.select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("base").alias("src"),
+        F.lit(0).alias("priority"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("update").alias("src"),
+        F.lit(1).alias("priority"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("I").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit("insert").alias("src"),
+        F.lit(1).alias("priority"),
+    )
+    unioned = base.unionAll(updates).unionAll(inserts)
+    win = W.partitionBy("o_orderkey").orderBy(F.desc("priority"), F.asc("src"))
+    return (
+        unioned.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "src",
+            pround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        )
+    )
+
+
+@register(
+    "scd2_customer_history",
+    f"""
+    WITH changes AS (
+      SELECT c_custkey, 1 AS version, c_acctbal FROM customer
+      UNION ALL
+      SELECT c_custkey, 2 AS version, c_acctbal + 100.0
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, 3 AS version, c_acctbal + 250.0
+      FROM customer WHERE c_custkey % 15 = 0
+    )
+    SELECT c_custkey,
+           version AS valid_from,
+           lead(version) OVER (PARTITION BY c_custkey ORDER BY version)
+             AS valid_to,
+           {pround_expr('c_acctbal', 2)} AS acctbal,
+           (lead(version) OVER (PARTITION BY c_custkey ORDER BY version)
+              IS NULL) AS is_current
+    FROM changes
+    """,
+)
+def scd2_customer_history(spark, sf_dir):
+    """SCD type-2 dimension history from a three-snapshot change-log:
+    valid_from/valid_to interval per (key, version), open interval =
+    current row.
+
+    Plan: snapshot union (three filters over one cached scan) → one
+    shuffle on c_custkey for the lead() window.
+    """
+    c = spread(load_table(spark, sf_dir, "customer"))
+    from .registry import cache_scoped
+
+    c = cache_scoped(c.select("c_custkey", "c_acctbal"))
+    changes = (
+        c.select("c_custkey", F.lit(1).alias("version"), F.col("c_acctbal"))
+        .unionAll(
+            c.filter(F.col("c_custkey") % 5 == 0).select(
+                "c_custkey",
+                F.lit(2).alias("version"),
+                (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            )
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 15 == 0).select(
+                "c_custkey",
+                F.lit(3).alias("version"),
+                (F.col("c_acctbal") + 250.0).alias("c_acctbal"),
+            )
+        )
+    )
+    win = W.partitionBy("c_custkey").orderBy("version")
+    nxt = F.lead("version").over(win)
+    return changes.select(
+        "c_custkey",
+        F.col("version").alias("valid_from"),
+        nxt.alias("valid_to"),
+        pround(F.col("c_acctbal"), 2).alias("acctbal"),
+        nxt.isNull().alias("is_current"),
+    )
