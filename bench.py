@@ -57,6 +57,11 @@ HEADLINE = [
     # the engine's most iterative plan (CC loop over the LSH pair graph) —
     # added r6 per the round-5 verdict so the driver watches it every round
     "dedup_minhash_components",
+    # 7th dedup strategy (suffix-array analog) + lexical retrieval — the
+    # two heaviest round-6-session-3 additions, added so the driver
+    # watches the gram-stream and postings plans every round
+    "dedup_substring_spans",
+    "bm25_search_topk",
     "text_quality_by_source",
     "ann_bruteforce_cosine_topk",
     "ann_ivf_cosine_topk",

@@ -80,3 +80,52 @@ def stratified_take(df: DataFrame, strata, k: int, key: str) -> DataFrame:
         .filter(F.col("__rk__") <= k)
         .drop("__rk__")
     )
+
+
+def weighted_take(
+    df: DataFrame,
+    strata,
+    k: int,
+    key: str,
+    weight: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum, sampled WITHOUT replacement with
+    probability proportional to ``weight`` — the A-Res scheme (Efraimidis
+    & Spirakis '06): rank by ``u^(1/w)`` descending, equivalently
+    ``ln(u)/w`` with ``u`` the deterministic md5-uniform of ``key``.
+    RNG-free, repartition-stable, identical in any engine with md5.
+
+    Skew posture: a stratum column typically has FEW distinct values, so
+    a single row_number window would funnel the whole corpus through
+    n_strata tasks.  Two-phase instead: a salted local top-k (stratum ×
+    ``key % n_salts`` — bounded fan-in per task) prunes to ≤ k·n_salts
+    candidates per stratum, then the global window ranks only survivors.
+    Salting never changes the result (top-k of per-salt top-ks = global
+    top-k); the oracle runs the unsalted SQL to prove it.
+    """
+    strata = [strata] if isinstance(strata, str) else list(strata)
+    u = F.greatest(hash_uniform(F.col(key)), F.lit(1e-12))
+    ares = (F.log(u) / F.col(weight).cast("double")).alias("__ares__")
+    salted = df.withColumn("__ares__", ares).withColumn(
+        "__salt__", F.pmod(F.col(key), F.lit(n_salts))
+    )
+    w_local = W.partitionBy(*strata, "__salt__").orderBy(
+        F.desc("__ares__"), F.col(key)
+    )
+    survivors = (
+        salted.withColumn("__rk__", F.row_number().over(w_local))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__", "__salt__")
+    )
+    w_global = W.partitionBy(*strata).orderBy(F.desc("__ares__"), F.col(key))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .drop("__ares__")
+    )
+
+
+def ares_key_sql(key_sql: str, weight_sql: str) -> str:
+    """SQL twin of the A-Res key: ``ln(max(u, 1e-12)) / w``."""
+    return f"(ln(GREATEST({hash_uniform_sql(key_sql)}, 1e-12)) / CAST({weight_sql} AS DOUBLE))"

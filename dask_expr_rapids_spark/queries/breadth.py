@@ -12,7 +12,7 @@ import os
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg_expr, dsum, dsum_expr, pround
+from ..functions.exact import davg_expr, dsum, dsum_expr, pround, pround_expr
 import pandas as pd
 
 from ..sources.tables import load_table, read_csv, read_parquet, spread, to_parquet
@@ -701,4 +701,95 @@ def dedup_winnowing_components(spark, sf_dir):
     labels = connected_components(pairs, src="id1", dst="id2")
     return labels.groupBy(F.col("comp").alias("component")).agg(
         F.count(F.lit(1)).alias("n_members")
+    )
+
+
+# --------------------------------------------------------------------------
+# Graph analytics over the dup-pair graph: triangle count + global
+# clustering coefficient.  Composes over the winnowing pair generator the
+# same way CC does — evidence the pair graphs are first-class relations,
+# not dead ends.  Triangle enumeration is the canonical ordered 3-join
+# (a<b<c so each triangle counts once); wedges from per-node degrees.
+#
+# Scale posture: edge lists here are already stop-shingle-capped (join
+# work ≤ n_hashes × cap²), and the triangle join is edges⋈edges on a
+# node key then a 2-column edge probe — both pinned to shuffle (the
+# corpus-derived-side broadcast hazard).  Degree agg is map-side
+# combinable.  All integer arithmetic; the only double is the final
+# ratio (wedge sums are exact integers < 2^53).
+# --------------------------------------------------------------------------
+_TRI_SQL = f"""
+    WITH pairs AS ({_WINNOW_PAIRS_SQL}),
+    edges AS (SELECT id1 AS a, id2 AS b FROM pairs),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT id1 AS node FROM pairs
+        UNION ALL SELECT id2 FROM pairs) GROUP BY node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    wstats AS (
+      SELECT COUNT(*) AS n_nodes,
+             CAST(CAST(SUM(d * (d - 1)) AS BIGINT) / 2 AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT w.n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           t.n_triangles,
+           w.n_wedges,
+           CASE WHEN w.n_wedges > 0 THEN
+             {pround_expr('3.0 * CAST(t.n_triangles AS DOUBLE) / CAST(w.n_wedges AS DOUBLE)', 6)}
+           END AS global_clustering
+    FROM tri t, wstats w
+"""
+
+
+@register("graph_triangle_stats", _TRI_SQL)
+def graph_triangle_stats(spark, sf_dir):
+    """Triangle count, wedge count, and global clustering coefficient of
+    the winnowing near-dup pair graph (a dup cluster of k docs is a
+    k-clique — its C(k,3) triangles vs C(k,2)-per-node wedges measure how
+    clique-like the duplication structure is)."""
+    from .registry import cache_scoped
+
+    pairs = cache_scoped(
+        dedup_winnowing_fingerprints(spark, sf_dir).select("id1", "id2")
+    )
+    edges = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    deg = (
+        pairs.select(F.col("id1").alias("node"))
+        .unionAll(pairs.select(F.col("id2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    wedges_open = e1.join(e2.hint("shuffle_hash"), "b")
+    tri = wedges_open.join(
+        e3.hint("shuffle_hash"),
+        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    wstats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)).cast("double") / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    out = wstats.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
+    clustering = F.when(
+        F.col("n_wedges") > 0,
+        pround(
+            3.0 * F.col("n_triangles").cast("double") / F.col("n_wedges").cast("double"),
+            6,
+        ),
+    )
+    return out.select(
+        "n_nodes", "n_edges", "n_triangles", "n_wedges",
+        clustering.alias("global_clustering"),
     )

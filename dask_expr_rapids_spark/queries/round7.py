@@ -381,3 +381,38 @@ def compaction_roundtrip_documents(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         F.sum(checksum).alias("content_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling (A-Res, Efraimidis-Spirakis): k docs per source with
+# probability ∝ n_chars, RNG-free via the md5-uniform key.  The Spark plan
+# is the SALTED two-phase top-k (operators/sampling.py::weighted_take —
+# stratum cardinality is tiny, so an unsalted window would funnel the
+# corpus through n_sources tasks); the oracle runs the unsalted
+# single-window SQL, proving the salted plan exact.
+# --------------------------------------------------------------------------
+from ..operators.sampling import ares_key_sql, weighted_take  # noqa: E402
+
+
+@register(
+    "weighted_sample_by_source",
+    f"""
+    SELECT source, rank, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {ares_key_sql('doc_id', 'n_chars')} DESC, doc_id
+             ) AS rank
+      FROM documents WHERE n_chars > 0
+    ) WHERE rank <= 5
+    """,
+)
+def weighted_sample_by_source(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
+    return weighted_take(
+        d.select("source", "doc_id", "n_chars"),
+        strata="source",
+        k=5,
+        key="doc_id",
+        weight="n_chars",
+    ).select("source", "rank", "doc_id", "n_chars")

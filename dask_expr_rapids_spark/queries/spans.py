@@ -121,22 +121,15 @@ def _all_gram_hashes_udf():
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
       FROM marked
     ),
-    islands AS (
-      SELECT doc_id, p,
-             SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1
-                      THEN 1 ELSE 0 END) OVER (
-               PARTITION BY doc_id ORDER BY p
-               ROWS UNBOUNDED PRECEDING) AS island
-      FROM flagged
-    ),
-    spans AS (
-      SELECT doc_id, island, MIN(p) AS s, MAX(p) + {_SPAN_L - 1} AS e
-      FROM islands GROUP BY doc_id, island
-    ),
     perdoc AS (
-      SELECT doc_id, COUNT(*) AS n_spans,
-             CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
-      FROM spans GROUP BY doc_id
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN prev_end IS NULL THEN {_SPAN_L}
+                           ELSE GREATEST(0, LEAST({_SPAN_L},
+                                p + {_SPAN_L - 1} - prev_end)) END)
+                  AS BIGINT) AS dup_chars
+      FROM flagged GROUP BY doc_id
     )
     SELECT p.doc_id, p.n_spans, p.dup_chars,
            CAST(len(n.t) AS BIGINT) AS doc_len,
@@ -156,16 +149,24 @@ def dedup_substring_spans(spark, sf_dir):
     d = spread(load_table(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     base = d.select("doc_id", norm.alias("t")).filter(F.length("t") >= _SPAN_L)
-    hashed = base.select(
-        "doc_id", F.length("t").alias("doc_len"), _all_gram_hashes_udf()("t").alias("hs")
+    from .registry import cache_scoped
+
+    # cache BEFORE the explode: the Arrow UDF runs exactly once into the
+    # cache (doc-level rows, ~len longs each); the gram stream, the
+    # doc-length lookup, and the dup-hash count all read it back without
+    # re-running Python (an uncached `lens` branch was re-running the
+    # whole scan+UDF pass — visible as a second ArrowEvalPython subtree).
+    hashed = cache_scoped(
+        base.select(
+            "doc_id",
+            F.length("t").cast("long").alias("doc_len"),
+            _all_gram_hashes_udf()("t").alias("hs"),
+        )
     )
     # generator in its own select (struct-name-loss gotcha)
     grams = hashed.select("doc_id", F.posexplode("hs").alias("p0", "h")).select(
         "doc_id", (F.col("p0") + 1).alias("p"), "h"
     )
-    from .registry import cache_scoped
-
-    grams = cache_scoped(grams)
     dup = (
         grams.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -179,23 +180,27 @@ def dedup_substring_spans(spark, sf_dir):
         wseq.rowsBetween(W.unboundedPreceding, -1)
     )
     flagged = marked.withColumn("prev_end", prev_end)
-    islands = flagged.withColumn(
-        "island",
-        F.sum(
-            F.when(
-                F.col("prev_end").isNull() | (F.col("p") > F.col("prev_end") + 1), 1
-            ).otherwise(0)
-        ).over(wseq.rowsBetween(W.unboundedPreceding, 0)),
+    # per-position incremental coverage: a gap restarts a span (L fresh
+    # chars), an overlap contributes only the chars past the running max
+    # end — so ONE groupBy(doc_id) replaces the (doc,island) + (doc)
+    # two-agg cascade, and it reuses the window's doc_id partitioning
+    # (no extra Exchange).
+    new_span = F.when(
+        F.col("prev_end").isNull() | (F.col("p") > F.col("prev_end") + 1), 1
+    ).otherwise(0)
+    contrib = F.when(F.col("prev_end").isNull(), F.lit(_SPAN_L)).otherwise(
+        F.greatest(
+            F.lit(0),
+            F.least(F.lit(_SPAN_L), F.col("p") + (_SPAN_L - 1) - F.col("prev_end")),
+        )
     )
-    spans = islands.groupBy("doc_id", "island").agg(
-        F.min("p").alias("s"), (F.max("p") + (_SPAN_L - 1)).alias("e")
+    perdoc = flagged.groupBy("doc_id").agg(
+        F.sum(new_span).cast("long").alias("n_spans"),
+        F.sum(contrib).cast("long").alias("dup_chars"),
     )
-    perdoc = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
-    )
-    lens = hashed.select("doc_id", F.col("doc_len").cast("long"))
-    return perdoc.join(lens, "doc_id").select(
+    # both sides are doc-level and scale with the corpus — never broadcast
+    lens = hashed.select("doc_id", "doc_len")
+    return perdoc.join(lens.hint("shuffle_hash"), "doc_id").select(
         "doc_id",
         "n_spans",
         "dup_chars",

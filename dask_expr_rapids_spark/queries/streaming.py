@@ -222,3 +222,138 @@ def stream_binned_quantiles_value(spark, sf_dir):
         est(0.50).alias("p50_est"),
         est(0.95).alias("p95_est"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming upsert (MERGE) sink: continuous ingest dedup where the SINK
+# maintains a persistent fingerprint store — each micro-batch dedups
+# within itself, anti-joins the store, and appends only first-seen docs
+# (the foreachBatch MERGE pattern a Delta/Iceberg sink runs under the
+# hood; the batch twin is queries/mutation.py::merge_upsert_orders, the
+# stateless-store cousin is dedup_incremental_new_docs).
+#
+# The doc stream is staged as four files keyed by doc_id % 4 with forced
+# mtime order, so availableNow + maxFilesPerTrigger=1 yields four
+# deterministic micro-batches — making "arrival order" SQL-expressible:
+# the keeper of a fingerprint is MIN BY (batch, doc_id).  The oracle
+# replays exactly that rule in one window.
+#
+# Scale posture: per batch the work is batch×store fp anti-join (fp
+# equi-join, one shuffle; store side never broadcast — it scales with
+# history) + an executor-written append.  State lives in the store files,
+# not executor memory — restart-safe by construction, no growing
+# in-memory state at all (unlike dropDuplicates state, which needs a
+# watermark to bound).
+# --------------------------------------------------------------------------
+@register(
+    "stream_upsert_dedup_sink",
+    r"""
+    WITH tagged AS (
+      SELECT source, doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             doc_id % 4 AS batch
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY batch, doc_id) AS rn
+      FROM tagged
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
+    FROM ranked GROUP BY source
+    """,
+)
+def stream_upsert_dedup_sink(spark, sf_dir):
+    import glob as _glob
+    import shutil
+
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    tagged = docs.select(
+        "doc_id", "source", F.md5(norm).alias("fp")
+    )
+
+    # stage four arrival files (test harness for a kafka/file feed): one
+    # file per doc_id%4, mtimes forced increasing so the file source's
+    # oldest-first ordering is deterministic
+    stage = scratch_dir("spark_graft_upsert_feed_")
+    for k in range(4):
+        part_dir = os.path.join(stage, f"_b{k}")
+        tagged.filter(F.col("doc_id") % 4 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        src = _glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(stage, f"{k:05d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+        shutil.rmtree(part_dir)
+
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+
+    store_dir = os.path.join(scratch_dir("spark_graft_upsert_store_"), "store")
+    audit_dir = os.path.join(scratch_dir("spark_graft_upsert_audit_"), "audit")
+
+    def _merge(batch_df, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        b = batch_df
+        # within-batch dedup: first doc_id per fingerprint wins
+        w = W.partitionBy("fp").orderBy("doc_id")
+        b = b.withColumn("__rn__", F.row_number().over(w))
+        firsts = b.filter(F.col("__rn__") == 1).drop("__rn__")
+        n_in_batch_dups = b.filter(F.col("__rn__") > 1).select("source", "doc_id")
+        sess = batch_df.sparkSession
+        if os.path.isdir(store_dir):
+            store_fp = sess.read.parquet(store_dir).select("fp")
+            # store scales with history — never broadcast it
+            hits = firsts.join(store_fp.hint("shuffle_hash"), "fp", "left_semi")
+            admitted = firsts.join(store_fp.hint("shuffle_hash"), "fp", "left_anti")
+        else:
+            hits = firsts.limit(0)
+            admitted = firsts
+        admitted.write.mode("append").parquet(store_dir)
+        rejected = n_in_batch_dups.unionAll(hits.select("source", "doc_id"))
+        rejected.write.mode("append").parquet(audit_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            scratch_dir(
+                "spark_graft_upsert_ckpt_",
+                base="/dev/shm" if os.path.isdir("/dev/shm") else None,
+            ),
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+    admitted = (
+        spark.read.parquet(store_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+    )
+    rejected = (
+        spark.read.parquet(audit_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rejected"))
+    )
+    return (
+        admitted.join(rejected, "source", "full_outer")
+        .select(
+            "source",
+            F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+            F.coalesce("n_rejected", F.lit(0)).alias("n_rejected"),
+        )
+    )

@@ -90,6 +90,12 @@ HEADLINE = [
     "stream_binned_quantiles_value",
     "ann_pq_cosine_topk",
     "compaction_roundtrip_documents",
+    # round-6 session-3 additions (first >sf0.01 measurement): the
+    # substring-span finisher is the scale question (gram stream = ~len
+    # rows/doc); retrieval is broadcast-pruned postings
+    "dedup_substring_spans",
+    "bm25_search_topk",
+    "phrase_search_topk",
 ]
 
 
