@@ -24,6 +24,8 @@ from . import round7  # noqa: E402,F401
 from . import spans  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 from . import mutation  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
+from . import lakehouse  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import tpch_ext  # noqa: E402,F401
 from . import aggregates  # noqa: E402,F401

@@ -527,3 +527,96 @@ def dedup_embedding_cosine(spark, sf_dir):
         .select("id1", "id2", pround(F.col("cosine_raw"), 6).alias("cosine"))
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic decontamination: eval-set leakage detection by EMBEDDING
+# similarity (the semantic cousin of the n-gram decontaminate_train_eval
+# — catches paraphrased leakage n-grams miss).  Reuses the banded
+# sign-LSH + capped buckets + exact quantized cosine machinery above;
+# the oracle runs the identical banding, so both engines agree on the
+# exact candidate set and scores.
+#
+# Scale posture: identical to dedup_embedding_cosine (bounded bucket
+# join), except one join side is the eval slice — tiny in practice, but
+# NOT broadcast: it rides the same banded shuffle, so the plan is
+# skew-safe even when the "eval set" is itself corpus-sized.
+# --------------------------------------------------------------------------
+_DECON_COS = 0.3
+_EVAL_MOD = 97
+
+_SEMANTIC_DECON_SQL = f"""
+    WITH v AS (SELECT vec_id, embedding, {", ".join(_EMB_KEY_SQL)} FROM embeddings),
+    bands AS (
+{_EMB_BAND_UNION_SQL}
+    ),
+    capped AS (
+      SELECT vec_id, band, bkey FROM (
+        SELECT vec_id, band, bkey,
+               row_number() OVER (PARTITION BY band, bkey
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM bands) WHERE rn <= {_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.vec_id % {_EVAL_MOD} <> 0 AND b.vec_id % {_EVAL_MOD} = 0
+    ),
+    scored AS (
+      SELECT c.id1, c.id2,
+             CAST(SUM({_QE.format(v='a')} * {_QE.format(v='b')}) AS DOUBLE)
+               / (sqrt(CAST(SUM({_QE.format(v='a')} * {_QE.format(v='a')}) AS DOUBLE))
+                  * sqrt(CAST(SUM({_QE.format(v='b')} * {_QE.format(v='b')}) AS DOUBLE))) AS cos
+      FROM cand c
+      JOIN embeddings a ON c.id1 = a.vec_id
+      JOIN embeddings b ON c.id2 = b.vec_id
+      CROSS JOIN (SELECT unnest(range({_DIM})) AS u) u
+      GROUP BY 1, 2
+    ),
+    hits AS (SELECT * FROM scored WHERE cos >= {_DECON_COS})
+    SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % {_EVAL_MOD} = 0) AS n_eval,
+           (SELECT COUNT(*) FROM embeddings WHERE vec_id % {_EVAL_MOD} <> 0) AS n_train,
+           (SELECT COUNT(*) FROM hits) AS n_leak_pairs,
+           (SELECT COUNT(DISTINCT id1) FROM hits) AS n_flagged_train,
+           (SELECT (CAST(floor(MAX(cos) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+            FROM hits) AS max_cosine
+"""
+
+
+@register("semantic_decontaminate_embeddings", _SEMANTIC_DECON_SQL)
+def semantic_decontaminate_embeddings(spark, sf_dir):
+    """Train vectors semantically too close to the eval slice
+    (vec_id % 97 == 0): banded sign-LSH candidates, exact quantized
+    cosine ≥ 0.3, per-corpus leak summary."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    capped = cache_scoped(_emb_banded_capped(e))
+    is_eval = F.col("vec_id") % _EVAL_MOD == 0
+    a = capped.filter(~is_eval).select(
+        F.col("vec_id").alias("id1"), F.col("qv").alias("q1"), "band", "bkey"
+    )
+    b = capped.filter(is_eval).select(
+        F.col("vec_id").alias("id2"), F.col("qv").alias("q2"), "band", "bkey"
+    )
+    pairs = (
+        a.join(b.hint("shuffle_hash"), ["band", "bkey"])
+        .dropDuplicates(["id1", "id2"])
+    )
+    dot = F.aggregate(
+        F.zip_with("q1", "q2", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n1 = F.aggregate(F.transform("q1", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n2 = F.aggregate(F.transform("q2", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    cos = dot.cast("double") / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
+    hits = pairs.withColumn("cos", cos).filter(F.col("cos") >= _DECON_COS)
+    summary = hits.agg(
+        F.count(F.lit(1)).alias("n_leak_pairs"),
+        F.countDistinct("id1").alias("n_flagged_train"),
+        pround(F.max("cos"), 6).alias("max_cosine"),
+    )
+    counts = e.agg(
+        F.sum(F.when(is_eval, 1).otherwise(0)).cast("long").alias("n_eval"),
+        F.sum(F.when(~is_eval, 1).otherwise(0)).cast("long").alias("n_train"),
+    )
+    return counts.crossJoin(F.broadcast(summary)).select(
+        "n_eval", "n_train", "n_leak_pairs", "n_flagged_train", "max_cosine"
+    )

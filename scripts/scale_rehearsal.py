@@ -96,6 +96,13 @@ HEADLINE = [
     "dedup_substring_spans",
     "bm25_search_topk",
     "phrase_search_topk",
+    # round-6 session-3b: analytics set (events + corpus mining)
+    "funnel_view_click_purchase",
+    "cohort_retention_daily",
+    "cooccurrence_word_pairs",
+    "weighted_sample_by_source",
+    "graph_triangle_stats",
+    "stream_upsert_dedup_sink",
 ]
 
 

@@ -283,3 +283,49 @@ def test_compaction_sizes_from_measured_bytes(spark, tmp_path):
     out2 = str(tmp_path / "out2")
     compact_parquet(spark, frag, out2, target_bytes=small_target)
     assert dataset_file_count(spark, out2) == -(-total // small_target)
+
+
+def test_zorder_write_narrows_file_stats(spark):
+    """Z-order layout proof: after sorting by the Morton code, each
+    parquet file's (user bucket, value bucket) min/max ranges are
+    dramatically narrower than an unclustered write's — the statistics
+    row-group/file pruning exploits for filters on EITHER key."""
+    import glob
+    import os
+
+    import pyarrow.parquet as papq
+
+    from dask_expr_rapids_spark.queries.lakehouse import morton_col
+    from dask_expr_rapids_spark.scratch import scratch_dir
+
+    ev = load_table(spark, SF_DIR, "events")
+    # full-range buckets in both dimensions regardless of test SF (the
+    # tiny fixture's user_id cardinality is below 256)
+    ub = F.pmod(F.col("event_id"), F.lit(256)).cast("int")
+    vb = F.pmod(F.floor(F.col("value") * 10).cast("int"), F.lit(256))
+    z = ev.select(ub.alias("ub"), vb.alias("vb"), morton_col(ub, vb).alias("morton"))
+    root = scratch_dir("spark_graft_zorder_")
+    plain, zdir = os.path.join(root, "plain"), os.path.join(root, "zorder")
+    # same file count both layouts so widths are comparable; 64 range
+    # partitions fix ~6 morton bits → ~3 high bits per dimension (fewer
+    # files only narrow ONE dimension — the interleave trades bits evenly)
+    z.repartition(64).write.mode("overwrite").parquet(plain)
+    z.repartitionByRange(64, "morton").sortWithinPartitions("morton").write.mode(
+        "overwrite"
+    ).parquet(zdir)
+
+    def avg_width(path, col):
+        widths = []
+        for f in glob.glob(os.path.join(path, "part-*.parquet")):
+            md = papq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            widths.append(hi - lo)
+        return sum(widths) / len(widths)
+
+    # unclustered files span ~the full 0..255 range in both dims; Z-order
+    # files must be at least 2x narrower in BOTH dimensions at once
+    for col in ("ub", "vb"):
+        w_plain, w_z = avg_width(plain, col), avg_width(zdir, col)
+        assert w_z < w_plain / 2, (col, w_plain, w_z)
