@@ -26,6 +26,7 @@ from . import retrieval  # noqa: E402,F401
 from . import mutation  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import lakehouse  # noqa: E402,F401
+from . import similarity_text  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import tpch_ext  # noqa: E402,F401
 from . import aggregates  # noqa: E402,F401
