@@ -103,6 +103,12 @@ HEADLINE = [
     "weighted_sample_by_source",
     "graph_triangle_stats",
     "stream_upsert_dedup_sink",
+    # round-6 session-3c
+    "editdistance_join_prefixes",
+    "source_divergence_stats",
+    "semantic_decontaminate_embeddings",
+    "incremental_agg_maintenance",
+    "zorder_layout_stats",
 ]
 
 
