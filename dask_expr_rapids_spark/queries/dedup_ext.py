@@ -620,3 +620,96 @@ def semantic_decontaminate_embeddings(spark, sf_dir):
     return counts.crossJoin(F.broadcast(summary)).select(
         "n_eval", "n_train", "n_leak_pairs", "n_flagged_train", "max_cosine"
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining for contrastive embedding training: for each anchor
+# vector, the k nearest candidates that are CLOSE BUT NOT DUPLICATES
+# (cosine inside a band below the dup threshold) — the pairs a
+# contrastive loss learns the most from.  Same banded-LSH candidate
+# machinery; ranking window per anchor.
+# --------------------------------------------------------------------------
+_HN_LO = 0.10
+_HN_HI = _COS_MIN  # dup threshold = the ceiling for "negative"
+_HN_K = 2
+_ANCHOR_MOD = 50
+
+_HARD_NEG_SQL = f"""
+    WITH v AS (SELECT vec_id, embedding, {", ".join(_EMB_KEY_SQL)} FROM embeddings),
+    bands AS (
+{_EMB_BAND_UNION_SQL}
+    ),
+    capped AS (
+      SELECT vec_id, band, bkey FROM (
+        SELECT vec_id, band, bkey,
+               row_number() OVER (PARTITION BY band, bkey
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM bands) WHERE rn <= {_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS negative_id
+      FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.vec_id % {_ANCHOR_MOD} = 0 AND b.vec_id % {_ANCHOR_MOD} <> 0
+    ),
+    scored AS (
+      SELECT c.anchor_id, c.negative_id,
+             CAST(SUM({_QE.format(v='a')} * {_QE.format(v='b')}) AS DOUBLE)
+               / (sqrt(CAST(SUM({_QE.format(v='a')} * {_QE.format(v='a')}) AS DOUBLE))
+                  * sqrt(CAST(SUM({_QE.format(v='b')} * {_QE.format(v='b')}) AS DOUBLE))) AS cos
+      FROM cand c
+      JOIN embeddings a ON c.anchor_id = a.vec_id
+      JOIN embeddings b ON c.negative_id = b.vec_id
+      CROSS JOIN (SELECT unnest(range({_DIM})) AS u) u
+      GROUP BY 1, 2
+    )
+    SELECT anchor_id, rank, negative_id,
+           (CAST(floor(cos * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS cosine
+    FROM (
+      SELECT anchor_id, negative_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cos DESC, negative_id) AS rank
+      FROM scored WHERE cos >= {_HN_LO} AND cos < {_HN_HI}
+    ) WHERE rank <= {_HN_K}
+    """
+
+
+@register("hard_negative_mining", _HARD_NEG_SQL)
+def hard_negative_mining(spark, sf_dir):
+    """Top-2 hard negatives per anchor (vec_id % 50 == 0): banded LSH
+    candidates with exact quantized cosine in [0.10, 0.30) — similar
+    enough to be informative, below the near-dup threshold."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    capped = cache_scoped(_emb_banded_capped(e))
+    is_anchor = F.col("vec_id") % _ANCHOR_MOD == 0
+    a = capped.filter(is_anchor).select(
+        F.col("vec_id").alias("anchor_id"), F.col("qv").alias("q1"), "band", "bkey"
+    )
+    b = capped.filter(~is_anchor).select(
+        F.col("vec_id").alias("negative_id"), F.col("qv").alias("q2"), "band", "bkey"
+    )
+    pairs = (
+        a.join(b.hint("shuffle_hash"), ["band", "bkey"])
+        .dropDuplicates(["anchor_id", "negative_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with("q1", "q2", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n1 = F.aggregate(F.transform("q1", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n2 = F.aggregate(F.transform("q2", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    cos = dot.cast("double") / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
+    from pyspark.sql import Window as W
+
+    scored = pairs.withColumn("cos", cos).filter(
+        (F.col("cos") >= _HN_LO) & (F.col("cos") < _HN_HI)
+    )
+    win = W.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= _HN_K)
+        .select(
+            "anchor_id",
+            "rank",
+            "negative_id",
+            pround(F.col("cos"), 6).alias("cosine"),
+        )
+    )

@@ -266,10 +266,8 @@ def stream_binned_quantiles_value(spark, sf_dir):
     """,
 )
 def stream_upsert_dedup_sink(spark, sf_dir):
-    import glob as _glob
-    import shutil
-
     from ..sources.tables import load_table
+    from ..streaming.ops import run_upsert_dedup, stage_ordered_feed
 
     docs = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
@@ -277,67 +275,11 @@ def stream_upsert_dedup_sink(spark, sf_dir):
         "doc_id", "source", F.md5(norm).alias("fp")
     )
 
-    # stage four arrival files (test harness for a kafka/file feed): one
-    # file per doc_id%4, mtimes forced increasing so the file source's
-    # oldest-first ordering is deterministic
     stage = scratch_dir("spark_graft_upsert_feed_")
-    for k in range(4):
-        part_dir = os.path.join(stage, f"_b{k}")
-        tagged.filter(F.col("doc_id") % 4 == k).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(part_dir)
-        src = _glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-        dst = os.path.join(stage, f"{k:05d}.parquet")
-        shutil.move(src, dst)
-        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
-        shutil.rmtree(part_dir)
-
-    schema = spark.read.parquet(stage).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-    )
-
+    stage_ordered_feed(tagged, stage, n_batches=4, key="doc_id")
     store_dir = os.path.join(scratch_dir("spark_graft_upsert_store_"), "store")
     audit_dir = os.path.join(scratch_dir("spark_graft_upsert_audit_"), "audit")
-
-    def _merge(batch_df, batch_id: int) -> None:
-        from pyspark.sql import Window as W
-
-        b = batch_df
-        # within-batch dedup: first doc_id per fingerprint wins
-        w = W.partitionBy("fp").orderBy("doc_id")
-        b = b.withColumn("__rn__", F.row_number().over(w))
-        firsts = b.filter(F.col("__rn__") == 1).drop("__rn__")
-        n_in_batch_dups = b.filter(F.col("__rn__") > 1).select("source", "doc_id")
-        sess = batch_df.sparkSession
-        if os.path.isdir(store_dir):
-            store_fp = sess.read.parquet(store_dir).select("fp")
-            # store scales with history — never broadcast it
-            hits = firsts.join(store_fp.hint("shuffle_hash"), "fp", "left_semi")
-            admitted = firsts.join(store_fp.hint("shuffle_hash"), "fp", "left_anti")
-        else:
-            hits = firsts.limit(0)
-            admitted = firsts
-        admitted.write.mode("append").parquet(store_dir)
-        rejected = n_in_batch_dups.unionAll(hits.select("source", "doc_id"))
-        rejected.write.mode("append").parquet(audit_dir)
-
-    q = (
-        stream.writeStream.foreachBatch(_merge)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            scratch_dir(
-                "spark_graft_upsert_ckpt_",
-                base="/dev/shm" if os.path.isdir("/dev/shm") else None,
-            ),
-        )
-        .start()
-    )
-    q.awaitTermination()
+    run_upsert_dedup(spark, stage, store_dir, audit_dir)
 
     admitted = (
         spark.read.parquet(store_dir)

@@ -311,3 +311,87 @@ def run_available_now_to_files(
     )
     q.awaitTermination()
     return stream_df.sparkSession.read.parquet(out_dir)
+
+
+def stage_ordered_feed(df: DataFrame, stage: str, n_batches: int = 4, key: str = "doc_id") -> str:
+    """Materialize ``df`` as ``n_batches`` single-file parquet 'arrivals'
+    (file k = rows with ``key % n_batches == k``) with strictly
+    increasing mtimes, so a file-source stream with
+    ``maxFilesPerTrigger=1`` replays them as deterministic micro-batches
+    in a SQL-expressible order — the test harness for a kafka/CDC feed.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    for k in range(n_batches):
+        part_dir = os.path.join(stage, f"_b{k}")
+        df.filter(F.col(key) % n_batches == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        src = _glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(stage, f"{k:05d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+        shutil.rmtree(part_dir)
+    return stage
+
+
+def run_upsert_dedup(spark: SparkSession, stage: str, store_dir: str, audit_dir: str) -> None:
+    """availableNow streaming MERGE drain: per micro-batch, dedup within
+    the batch (first ``doc_id`` per ``fp`` wins), left-anti join the
+    persistent store's fingerprints, append only first-seen rows to the
+    store and every rejection to the audit log.
+
+    The store IS the state — restart-safe and idempotent by key: feeding
+    the same corpus again admits nothing (pinned by
+    tests/test_streaming.py).  The store side of the anti join is pinned
+    off broadcast (it scales with ingest history).
+    """
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..scratch import scratch_dir
+
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("fp").orderBy("doc_id")
+        b = batch_df.withColumn("__rn__", F.row_number().over(w))
+        firsts = b.filter(F.col("__rn__") == 1).drop("__rn__")
+        in_batch_dups = b.filter(F.col("__rn__") > 1).select("source", "doc_id")
+        sess = batch_df.sparkSession
+        if os.path.isdir(store_dir):
+            store_fp = sess.read.parquet(store_dir).select("fp")
+            hits = firsts.join(store_fp.hint("shuffle_hash"), "fp", "left_semi")
+            admitted = firsts.join(store_fp.hint("shuffle_hash"), "fp", "left_anti")
+        else:
+            hits = firsts.limit(0)
+            admitted = firsts
+        admitted.write.mode("append").parquet(store_dir)
+        rejected = in_batch_dups.unionAll(hits.select("source", "doc_id"))
+        rejected.write.mode("append").parquet(audit_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            scratch_dir(
+                "spark_graft_upsert_ckpt_",
+                base="/dev/shm" if os.path.isdir("/dev/shm") else None,
+            ),
+        )
+        .start()
+    )
+    q.awaitTermination()

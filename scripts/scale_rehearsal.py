@@ -109,6 +109,8 @@ HEADLINE = [
     "semantic_decontaminate_embeddings",
     "incremental_agg_maintenance",
     "zorder_layout_stats",
+    "hard_negative_mining",
+    "curation_decision_table",
 ]
 
 

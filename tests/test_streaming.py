@@ -198,3 +198,38 @@ def test_streaming_checkpoint_recovery_resumes_state(spark, tmp_path):
     got = {(r["window_start"], r["event_type"], r["n"]) for r in final.collect()}
     assert got == want
     assert phase1 > 0  # the first drain really produced partial state
+
+
+def test_upsert_sink_refeed_is_idempotent(spark):
+    """The streaming MERGE store is idempotent by key: draining the SAME
+    feed a second time (fresh checkpoint — i.e. a from-scratch replay,
+    not a resume) must admit zero new rows and audit every fingerprint
+    as a duplicate-vs-store."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_expr_rapids_spark.scratch import scratch_dir
+    from dask_expr_rapids_spark.sources.tables import load_table
+    from dask_expr_rapids_spark.streaming.ops import (
+        run_upsert_dedup,
+        stage_ordered_feed,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    tagged = docs.select("doc_id", "source", F.md5(norm).alias("fp"))
+    root = scratch_dir("spark_graft_upsert_refeed_")
+    stage = stage_ordered_feed(tagged, os.path.join(root, "feed"))
+    store = os.path.join(root, "store")
+
+    run_upsert_dedup(spark, stage, store, os.path.join(root, "audit1"))
+    n_store_1 = spark.read.parquet(store).count()
+    n_distinct_fp = tagged.select("fp").distinct().count()
+    assert n_store_1 == n_distinct_fp
+
+    run_upsert_dedup(spark, stage, store, os.path.join(root, "audit2"))
+    n_store_2 = spark.read.parquet(store).count()
+    assert n_store_2 == n_store_1  # nothing admitted on replay
+    n_audit_2 = spark.read.parquet(os.path.join(root, "audit2")).count()
+    assert n_audit_2 == tagged.count()  # every incoming row rejected
