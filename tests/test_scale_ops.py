@@ -329,3 +329,55 @@ def test_zorder_write_narrows_file_stats(spark):
     for col in ("ub", "vb"):
         w_plain, w_z = avg_width(plain, col), avg_width(zdir, col)
         assert w_z < w_plain / 2, (col, w_plain, w_z)
+
+
+def test_weighted_take_salt_invariant(spark):
+    """The salted two-phase plan must be EXACTLY the unsalted result for
+    any salt count (top-k of per-salt top-ks == global top-k)."""
+    from dask_expr_rapids_spark.operators.sampling import weighted_take
+
+    d = load_table(spark, SF_DIR, "documents").filter(F.col("n_chars") > 0)
+    d = d.select("source", "doc_id", "n_chars")
+    results = [
+        canonical_rows(
+            weighted_take(d, "source", 5, "doc_id", "n_chars", n_salts=s)
+            .select("source", "rank", "doc_id")
+            .toPandas()
+        )
+        for s in (1, 4, 16)
+    ]
+    assert results[0] == results[1] == results[2]
+
+
+def test_morton_code_roundtrip(spark):
+    """The Morton interleave must be a bijection on (ub, vb) — decode in
+    plain Python and compare."""
+    from dask_expr_rapids_spark.queries.lakehouse import morton_col
+
+    ub = F.pmod(F.col("event_id"), F.lit(256)).cast("int")
+    vb = F.pmod(F.col("event_id") * 7 + 13, F.lit(256)).cast("int")
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select(ub.alias("ub"), vb.alias("vb"), morton_col(ub, vb).alias("m"))
+        .limit(500)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        du = sum(((r.m >> (2 * i)) & 1) << i for i in range(8))
+        dv = sum(((r.m >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (du, dv) == (r.ub, r.vb), (r.m, r.ub, r.vb)
+
+
+def test_substring_span_invariants(spark):
+    """Span accounting invariants: every doc with spans satisfies
+    n_spans * L <= dup_chars <= doc_len (spans are maximal, merged,
+    each at least one gram long)."""
+    from dask_expr_rapids_spark.queries import REGISTRY
+    from dask_expr_rapids_spark.queries.spans import _SPAN_L
+
+    rows = REGISTRY["dedup_substring_spans"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_spans >= 1
+        assert r.n_spans * _SPAN_L <= r.dup_chars <= r.doc_len, r
