@@ -172,3 +172,97 @@ def scd2_customer_history(spark, sf_dir):
         pround(F.col("c_acctbal"), 2).alias("acctbal"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (temporal) dimension join: each fact row joins the SCD2
+# dimension version that was valid AT FACT TIME — the lookup every
+# warehouse does against a type-2 dimension, and the reason SCD2 exists.
+# Composes the mutation layer's history build with the as-of operator
+# (operators/asof.py: union + one window = single shuffle, no range
+# explosion, no per-fact subquery).
+# --------------------------------------------------------------------------
+_SCD2_DATES = {1: "1992-01-01", 2: "1996-01-01", 3: "1997-06-01"}
+
+
+@register(
+    "pointintime_dim_join_orders",
+    f"""
+    WITH dim AS (
+      SELECT c_custkey, CAST('{_SCD2_DATES[1]}' AS DATE) AS valid_from,
+             c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT c_custkey, CAST('{_SCD2_DATES[2]}' AS DATE), c_acctbal + 100.0
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, CAST('{_SCD2_DATES[3]}' AS DATE), c_acctbal + 250.0
+      FROM customer WHERE c_custkey % 15 = 0
+    ),
+    matched AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+             (SELECT MAX(d.valid_from) FROM dim d
+              WHERE d.c_custkey = o.o_custkey
+                AND d.valid_from <= o.o_orderdate) AS v
+      FROM orders o
+    )
+    SELECT m.o_orderkey,
+           STRFTIME(m.o_orderdate, '%Y-%m-%d') AS order_date,
+           STRFTIME(m.v, '%Y-%m-%d') AS dim_valid_from,
+           {pround_expr('d.acctbal', 2)} AS acctbal_at_order,
+           {pround_expr('m.o_totalprice + d.acctbal', 2)} AS price_plus_balance
+    FROM matched m
+    JOIN dim d ON d.c_custkey = m.o_custkey AND d.valid_from = m.v
+    """,
+)
+def pointintime_dim_join_orders(spark, sf_dir):
+    """Orders joined to the customer-dimension version valid at order
+    date (SCD2 point-in-time lookup) via the single-shuffle as-of join.
+
+    Every order matches: version 1 predates the earliest TPC-H order.
+    The oracle uses the textbook correlated-subquery formulation; this
+    plan replaces it with union+window (operators/asof.py) — same rows,
+    no per-fact subquery, one shuffle on the customer key.
+    """
+    from ..operators.asof import merge_asof
+
+    c = spread(load_table(spark, sf_dir, "customer"))
+    from .registry import cache_scoped
+
+    c = cache_scoped(c.select("c_custkey", "c_acctbal"))
+    dim = (
+        c.select(
+            "c_custkey",
+            F.lit(_SCD2_DATES[1]).cast("date").alias("valid_from"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 5 == 0).select(
+                "c_custkey",
+                F.lit(_SCD2_DATES[2]).cast("date").alias("valid_from"),
+                (F.col("c_acctbal") + 100.0).alias("acctbal"),
+            )
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 15 == 0).select(
+                "c_custkey",
+                F.lit(_SCD2_DATES[3]).cast("date").alias("valid_from"),
+                (F.col("c_acctbal") + 250.0).alias("acctbal"),
+            )
+        )
+    )
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.col("o_totalprice"),
+    )
+    j = merge_asof(o, dim, on="valid_from", by="c_custkey", direction="backward")
+    return j.select(
+        "o_orderkey",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("asof_valid_from", "yyyy-MM-dd").alias("dim_valid_from"),
+        pround(F.col("asof_acctbal"), 2).alias("acctbal_at_order"),
+        pround(F.col("o_totalprice") + F.col("asof_acctbal"), 2).alias(
+            "price_plus_balance"
+        ),
+    )
