@@ -25,7 +25,6 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import pround, pround_expr

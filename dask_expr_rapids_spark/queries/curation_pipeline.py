@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.text import quality_score
 from ..operators.sampling import hash_uniform, hash_uniform_sql
 from ..sources.tables import load_table, spread
-from .registry import cache_scoped, register
+from .registry import register
 from .text import _ALPHA_SQL, _PUNCT_SQL
 
 _Q_MIN = 0.65

@@ -299,3 +299,37 @@ def stream_upsert_dedup_sink(spark, sf_dir):
             F.coalesce("n_rejected", F.lit(0)).alias("n_rejected"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Chained stateful operators: streaming DEDUP (distinct (window, user))
+# feeding a streaming WINDOWED AGGREGATION — the two-stage state pipeline
+# (Spark 3.4+ multiple-stateful-operator support) that computes EXACT
+# distinct users per hour, not an approximation.  State posture: the
+# dedup state is (window, user) keys within the watermark horizon; the
+# downstream agg state is windows × 1 counter — both watermark-evicted.
+# --------------------------------------------------------------------------
+@register(
+    "stream_windowed_distinct_users",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_windowed_distinct_users(spark, sf_dir):
+    """Exact distinct users per tumbling hour BY A STREAMING JOB:
+    dropDuplicates on (window, user) chained into a windowed count —
+    oracle = batch COUNT(DISTINCT)."""
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    dedup = stream.select(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).dropDuplicates(["w", "user_id"])
+    agg = dedup.groupBy("w").agg(F.count(F.lit(1)).alias("n_users"))
+    out = run_available_now(
+        agg.select(F.col("w.start").alias("window_start"), "n_users"),
+        f"stream_distinct_users_{next(_sink_counter)}",
+        output_mode="complete",
+    )
+    return out

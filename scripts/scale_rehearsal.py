@@ -111,6 +111,10 @@ HEADLINE = [
     "zorder_layout_stats",
     "hard_negative_mining",
     "curation_decision_table",
+    # (pointintime_dim_join_orders is orders/customer-based — the
+    # rehearsal generator scales documents/embeddings/events/lineitem
+    # only, so it stays a sf<=0.1 query like the other TPC-H shapes)
+    "stream_windowed_distinct_users",
 ]
 
 
