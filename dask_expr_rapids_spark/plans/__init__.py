@@ -27,6 +27,7 @@ __all__ = [
     "has_python_row_udf",
     "count_broadcast_exchanges",
     "count_shuffle_exchanges",
+    "audit",
 ]
 
 
@@ -98,3 +99,48 @@ def count_shuffle_exchanges(df: DataFrame) -> int:
     return plan.count("Exchange hashpartitioning") + plan.count(
         "Exchange rangepartitioning"
     ) + plan.count("Exchange RoundRobinPartitioning")
+
+
+def audit(df: DataFrame) -> dict:
+    """One-call scale audit of a DataFrame's physical plan: the checks
+    the engine's own plan-shape tests enforce, surfaced as a user-facing
+    report (run it on a new query before pointing it at 100 TB).
+
+    Returns ``{"hazards": [...], "stats": {...}}``.  Hazards:
+
+    * ``cartesian_product`` — an unconstrained O(n²) join.
+    * ``python_row_udf`` — row-at-a-time Python in the hot path
+      (``BatchEvalPython``); rewrite as built-ins or an Arrow UDF.
+    * ``scan_without_pruning`` — a parquet scan that reads 12+ columns
+      with no pushed filter: usually a missing projection/filter (a
+      full-width scan is sometimes intended — judge with the stats).
+
+    Stats: shuffle/broadcast exchange counts, scans, pushed filter and
+    read-schema summaries, whole-stage-codegen span count, and the
+    Python-eval node count — the numbers to compare when choosing
+    between two formulations of the same query.
+    """
+    plan = plan_of(df)
+    hazards: list[str] = []
+    if has_cartesian_product(df):
+        hazards.append("cartesian_product")
+    if has_python_row_udf(df):
+        hazards.append("python_row_udf")
+    pushed = pushed_filters(df)
+    cols = read_schema(df)
+    # formatted explain lists each node twice (tree + detail) — halve
+    n_scans = plan.count("Scan parquet") // 2
+    if n_scans and not pushed and len(cols) >= 12:
+        hazards.append("scan_without_pruning")
+    return {
+        "hazards": hazards,
+        "stats": {
+            "shuffle_exchanges": count_shuffle_exchanges(df) // 2,
+            "broadcast_exchanges": count_broadcast_exchanges(df) // 2,
+            "parquet_scans": n_scans,
+            "pushed_filters": pushed,
+            "read_columns": sorted(set(cols)),
+            "codegen_spans": plan.count("WholeStageCodegen") // 2,
+            "arrow_python_evals": plan.count("ArrowEvalPython") // 2,
+        },
+    }

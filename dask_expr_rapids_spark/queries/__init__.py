@@ -52,6 +52,26 @@ from . import window  # noqa: E402,F401
 # oracle-checked at sf0.001 by tests/test_correctness.py (same compare,
 # same DuckDB oracle); tests/test_registry_window.py pins the window to
 # exactly this list.
+#
+# ROUND-7 ROTATION PLAN (edit this list at the START of round 7): lead
+# with the 31 queries added after this window was pinned (round-6
+# sessions 2-3, never driver-verified): dedup_winnowing_fingerprints,
+# dedup_winnowing_components, compaction_roundtrip_documents,
+# stream_binned_quantiles_value, lexical_rarity_by_source,
+# cross_source_vocab_overlap, text_roundtrip_documents,
+# ann_pq_cosine_topk, binned_quantiles_event_value,
+# dedup_incremental_new_docs, ann_ivf_partitioned_store,
+# dedup_substring_spans, bm25_search_topk, phrase_search_topk,
+# merge_upsert_orders, scd2_customer_history, weighted_sample_by_source,
+# graph_triangle_stats, stream_upsert_dedup_sink,
+# funnel_view_click_purchase, cohort_retention_daily,
+# cooccurrence_word_pairs, incremental_agg_maintenance,
+# zorder_layout_stats, semantic_decontaminate_embeddings,
+# editdistance_join_prefixes, source_divergence_stats,
+# hard_negative_mining, curation_decision_table,
+# pointintime_dim_join_orders, stream_windowed_distinct_users;
+# back-fill the remaining 19 slots with the oldest r4-window relational
+# queries not re-verified in r6 (q18..q22 tail, aggregates, window fns).
 DRIVER_WINDOW: list[str] = [
     # the r4 failure whose fix was never driver-confirmed
     "rolling_time_5min",

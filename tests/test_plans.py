@@ -274,3 +274,37 @@ def test_cooccurrence_broadcasts_frequent_vocab(spark):
     plan = plan_of(REGISTRY["cooccurrence_word_pairs"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_audit_flags_hazards_and_reports_stats(spark):
+    """The user-facing plan audit must flag a cartesian product and a
+    row-Python UDF, pass a healthy query clean, and report the stats the
+    plan tests rely on."""
+    from dask_expr_rapids_spark.plans import audit
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    n = load_table(spark, SF_DIR, "nation")
+
+    healthy = audit(
+        l.filter(F.col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    )
+    assert healthy["hazards"] == []
+    assert healthy["stats"]["parquet_scans"] == 1
+    assert healthy["stats"]["pushed_filters"]
+    assert set(healthy["stats"]["read_columns"]) == {"l_orderkey", "l_quantity"}
+
+    # a tiny cross join legitimately plans as BroadcastNestedLoopJoin and
+    # is NOT a hazard; force the true cartesian by disabling broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cart = audit(n.crossJoin(n.select(F.col("n_name").alias("n2"))))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "cartesian_product" in cart["hazards"]
+
+    from pyspark.sql.functions import udf
+
+    slow = udf(lambda x: x + 1, "long")
+    py = audit(l.select(slow("l_orderkey").alias("x")))
+    assert "python_row_udf" in py["hazards"]
