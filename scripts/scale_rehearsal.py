@@ -111,10 +111,12 @@ HEADLINE = [
     "zorder_layout_stats",
     "hard_negative_mining",
     "curation_decision_table",
-    # (pointintime_dim_join_orders is orders/customer-based — the
-    # rehearsal generator scales documents/embeddings/events/lineitem
-    # only, so it stays a sf<=0.1 query like the other TPC-H shapes)
+    # (pointintime_dim_join_orders and ols_price_trend are
+    # orders/customer-based — the rehearsal generator scales
+    # documents/embeddings/events/lineitem only, so they stay sf<=0.1
+    # queries like the other TPC-H shapes)
     "stream_windowed_distinct_users",
+    "naive_bayes_source_classifier",
 ]
 
 
