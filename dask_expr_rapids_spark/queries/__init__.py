@@ -55,7 +55,7 @@ from . import window  # noqa: E402,F401
 # exactly this list.
 #
 # ROUND-7 ROTATION PLAN (edit this list at the START of round 7): lead
-# with the 31 queries added after this window was pinned (round-6
+# with the 33 queries added after this window was pinned (round-6
 # sessions 2-3, never driver-verified): dedup_winnowing_fingerprints,
 # dedup_winnowing_components, compaction_roundtrip_documents,
 # stream_binned_quantiles_value, lexical_rarity_by_source,
@@ -70,8 +70,9 @@ from . import window  # noqa: E402,F401
 # zorder_layout_stats, semantic_decontaminate_embeddings,
 # editdistance_join_prefixes, source_divergence_stats,
 # hard_negative_mining, curation_decision_table,
-# pointintime_dim_join_orders, stream_windowed_distinct_users;
-# back-fill the remaining 19 slots with the oldest r4-window relational
+# pointintime_dim_join_orders, stream_windowed_distinct_users,
+# ols_price_trend, naive_bayes_source_classifier;
+# back-fill the remaining 17 slots with the oldest r4-window relational
 # queries not re-verified in r6 (q18..q22 tail, aggregates, window fns).
 DRIVER_WINDOW: list[str] = [
     # the r4 failure whose fix was never driver-confirmed
