@@ -252,3 +252,65 @@ def naive_bayes_source_classifier(spark, sf_dir):
             .alias("n_correct"),
         )
     )
+
+
+@register(
+    "ols_value_trend_by_type",
+    f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             {dec2dbl_expr("SUM(CAST(y AS DECIMAL(30,8)))")} AS sy,
+             {dec2dbl_expr("SUM(CAST(x * y AS DECIMAL(30,8)))")} AS sxy
+      FROM (SELECT event_type,
+                   CAST(date_part('hour', ts) AS BIGINT) AS x,
+                   value AS y
+            FROM events)
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {pround_expr(
+               "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+               " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+               "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))", 8)} AS slope,
+           {pround_expr(
+               "(sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+               "       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+               "          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+               "  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)", 4)} AS intercept
+    FROM s
+    """,
+)
+def ols_value_trend_by_type(spark, sf_dir):
+    """GROUPED closed-form OLS — one model per event_type (value vs
+    hour-of-day) from per-group sufficient statistics in a single
+    aggregation pass: fitting a million segment models at 100 TB costs
+    exactly one shuffle, the same plan as any grouped aggregate."""
+    e = spread(load_table(spark, sf_dir, "events"))
+    base = e.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.col("value").alias("y"),
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        dec_to_double(F.sum(F.col("y").cast(DEC)), 8).alias("sy"),
+        dec_to_double(F.sum((F.col("x") * F.col("y")).cast(DEC)), 8).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    num = n_d * F.col("sxy") - sx_d * F.col("sy")
+    den = n_d * sxx_d - sx_d * sx_d
+    slope = num / den
+    intercept = (F.col("sy") - slope * sx_d) / n_d
+    return s.select(
+        "event_type",
+        "n",
+        pround(slope, 8).alias("slope"),
+        pround(intercept, 4).alias("intercept"),
+    )
