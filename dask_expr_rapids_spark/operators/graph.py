@@ -50,21 +50,38 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """(node, component) for every node in the edge list; ``component`` =
     the minimum node id reachable from the node (deterministic canonical
     label).
 
     Scale posture: labels and edges shuffle on node id each round;
-    ``localCheckpoint`` truncates the growing lineage so round N's plan
-    does not replay rounds 1..N-1.  The convergence check is a count of
+    checkpointing truncates the growing lineage so round N's plan does
+    not replay rounds 1..N-1.  The convergence check is a count of
     changed labels — one action per round, O(diameter) rounds.
+
+    EAGER by design: calling this function executes the full upstream
+    edge-producing pipeline immediately (the edge list is checkpointed
+    and counted to size the loop's parallelism) — an iterative fixpoint
+    has no useful lazy form, so plan-only inspection of a CC query is not
+    cheap.  Fault tolerance: the default ``localCheckpoint`` stores
+    blocks unreplicated on executors, so losing an executor mid-iteration
+    fails the job instead of recomputing lineage (acceptable for bounded
+    dedup runs — O(diameter) rounds — where a retry is cheaper than
+    replicated writes).  For long multi-hour CC runs on a real cluster
+    pass ``reliable=True`` to use ``DataFrame.checkpoint`` into the
+    fault-tolerant ``spark.sparkContext.setCheckpointDir`` location
+    (caller must have set one).
     """
     half = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
     # materialize the (possibly expensive) edge producer ONCE — every
     # iteration joins against it, and without this the upstream pipeline
     # (e.g. a full LSH dedup query) would replay per round.  Checkpointing
@@ -73,12 +90,12 @@ def connected_components(
     # constant and not the session-global spark.sql.shuffle.partitions
     # (which is a string like "auto" under some deployments, and mutating
     # it would re-plan concurrent queries on a shared session).
-    half = half.localCheckpoint()
+    half = _ckpt(half)
     loop_parts = _loop_partitions(2 * half.count())
     sym = (
         half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .repartition(loop_parts, "b")
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     # round 0 fused into initialization: start every node at
     # min(self, direct neighbors) instead of self — same shuffle count as
@@ -90,9 +107,9 @@ def connected_components(
         .agg(F.min("b").alias("__nb__"))
         .select("node", F.least(F.col("node"), F.col("__nb__")).alias("comp"))
         .repartition(loop_parts, "node")
-        .localCheckpoint()
+        .transform(_ckpt)
     )
-    labels, changed = _propagate(sym, labels, max_iter, loop_parts)
+    labels, changed = _propagate(sym, labels, max_iter, loop_parts, _ckpt)
     if changed:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
@@ -104,8 +121,10 @@ def connected_components(
 
 
 def _propagate(
-    sym: DataFrame, labels: DataFrame, max_iter: int, loop_parts: int
+    sym: DataFrame, labels: DataFrame, max_iter: int, loop_parts: int, ckpt=None
 ) -> tuple[DataFrame, int]:
+    if ckpt is None:
+        ckpt = lambda df: df.localCheckpoint()  # noqa: E731
     changed = 0
     for _ in range(max_iter):
         nb_min = (
@@ -145,7 +164,7 @@ def _propagate(
                 ).alias("comp"),
             )
             .repartition(loop_parts, "node")
-            .localCheckpoint()
+            .transform(ckpt)
         )
         changed = step.filter(F.col("comp") != F.col("old_comp")).count()
         labels = step.select("node", "comp")

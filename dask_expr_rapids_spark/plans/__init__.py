@@ -10,12 +10,21 @@ introspection (``/root/reference/dask_expr/io/tests/test_io.py:117-123``
 asserts projections land inside ReadParquet operands); here the optimizer
 is Catalyst, so the checks read ``df.explain`` output instead of an Expr
 tree.
+
+Parsing notes (Spark 4.x): ``explain("formatted")`` prints the node tree
+AND a per-node detail section, so naive substring counts double-count;
+shuffle nodes print as ``Exchange (N)`` in the tree with
+``Arguments: hashpartitioning(...)`` on a separate detail line, and
+codegen shows as ``[codegen id : N]`` markers, not ``WholeStageCodegen``.
+Counters therefore use ``explain("simple")`` (one tree, canonical node
+names) or parse the formatted detail sections explicitly.
 """
 
 from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from pyspark.sql import DataFrame
 
@@ -23,10 +32,12 @@ __all__ = [
     "plan_of",
     "pushed_filters",
     "read_schema",
+    "scan_details",
     "has_cartesian_product",
     "has_python_row_udf",
     "count_broadcast_exchanges",
     "count_shuffle_exchanges",
+    "count_codegen_spans",
     "audit",
 ]
 
@@ -39,41 +50,79 @@ def plan_of(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def _parse_pushed(line: str) -> list[str]:
+    body = line.split("PushedFilters:", 1)[1].strip().strip("[]")
+    return [p.strip() for p in body.split(",") if p.strip()]
+
+
+def _parse_read_schema(line: str) -> list[str]:
+    body = line.split("ReadSchema:", 1)[1]
+    inner = body[body.find("<") + 1 : body.rfind(">")]
+    depth = 0
+    field: list[str] = []
+    cols: list[str] = []
+    for ch in inner:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            cols.append("".join(field).split(":", 1)[0])
+            field = []
+        else:
+            field.append(ch)
+    if field:
+        cols.append("".join(field).split(":", 1)[0])
+    return cols
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """The ``PushedFilters`` entries of every scan in the plan — empty
     means no predicate reached the parquet reader."""
     out: list[str] = []
     for line in plan_of(df).splitlines():
-        line = line.strip()
-        if line.startswith("PushedFilters:"):
-            body = line.removeprefix("PushedFilters:").strip().strip("[]")
-            out.extend(p.strip() for p in body.split(",") if p.strip())
+        if "PushedFilters:" in line:
+            out.extend(_parse_pushed(line))
     return out
 
 
 def read_schema(df: DataFrame) -> list[str]:
     """Column names each scan actually reads (``ReadSchema``) — the
-    column-pruning witness: a 2-column projection must not read 16."""
+    column-pruning witness: a 2-column projection must not read 16.
+    Concatenates across ALL scans; use :func:`scan_details` for the
+    per-scan view."""
     cols: list[str] = []
     for line in plan_of(df).splitlines():
         if "ReadSchema:" in line:
-            body = line.split("ReadSchema:", 1)[1]
-            inner = body[body.find("<") + 1 : body.rfind(">")]
-            depth = 0
-            field = []
-            for ch in inner:
-                if ch == "<":
-                    depth += 1
-                elif ch == ">":
-                    depth -= 1
-                if ch == "," and depth == 0:
-                    cols.append("".join(field).split(":", 1)[0])
-                    field = []
-                else:
-                    field.append(ch)
-            if field:
-                cols.append("".join(field).split(":", 1)[0])
+            cols.extend(_parse_read_schema(line))
     return cols
+
+
+def scan_details(df: DataFrame) -> list[dict]:
+    """Per-scan view of the plan: one dict per file-source scan with that
+    scan's own ``pushed_filters``, ``read_columns``, and ``source`` (the
+    detail-header text, e.g. ``Scan parquet``).  Parsed from the formatted
+    explain's ``(N) Scan ...`` detail sections, so each scan appears
+    exactly once even though the tree section repeats node names."""
+    plan = plan_of(df)
+    out: list[dict] = []
+    # Detail sections start with "(N) <NodeName> ..." at column 0.
+    blocks = re.split(r"(?m)^\(\d+\) ", plan)
+    for block in blocks[1:]:
+        header = block.splitlines()[0].strip()
+        if not header.startswith("Scan "):
+            continue
+        pushed: list[str] = []
+        cols: list[str] = []
+        for line in block.splitlines():
+            if "PushedFilters:" in line:
+                pushed.extend(_parse_pushed(line))
+            elif "ReadSchema:" in line:
+                cols.extend(_parse_read_schema(line))
+        out.append(
+            {"source": header, "pushed_filters": pushed, "read_columns": cols}
+        )
+    return out
 
 
 def has_cartesian_product(df: DataFrame) -> bool:
@@ -91,17 +140,53 @@ def has_python_row_udf(df: DataFrame) -> bool:
 
 
 def count_broadcast_exchanges(df: DataFrame) -> int:
-    return plan_of(df).count("BroadcastExchange")
+    """Broadcast exchange count, from the simple plan (one tree, so each
+    node counts once)."""
+    return plan_of(df, "simple").count("BroadcastExchange")
 
 
 def count_shuffle_exchanges(df: DataFrame) -> int:
-    plan = plan_of(df)
-    return plan.count("Exchange hashpartitioning") + plan.count(
-        "Exchange rangepartitioning"
-    ) + plan.count("Exchange RoundRobinPartitioning")
+    """Shuffle (non-broadcast) exchange count, from the simple plan —
+    formatted mode never prints ``Exchange hashpartitioning`` on one line
+    (the partitioning moves to an ``Arguments:`` detail line), so simple
+    mode is the reliable source."""
+    plan = plan_of(df, "simple")
+    return sum(
+        plan.count(f"Exchange {kind}")
+        for kind in (
+            "hashpartitioning",
+            "rangepartitioning",
+            "RoundRobinPartitioning",
+            "SinglePartition",
+        )
+    )
 
 
-def audit(df: DataFrame) -> dict:
+def count_codegen_spans(df: DataFrame) -> int:
+    """Number of distinct whole-stage-codegen spans.  Formatted mode marks
+    member nodes with ``[codegen id : N]``; the span count is the number
+    of distinct ids (counting marker occurrences would count nodes).
+
+    Under AQE a not-yet-executed plan carries NO codegen ids (the
+    ``AdaptiveSparkPlan isFinalPlan=false`` wrapper hides them), so the
+    plan is re-derived once with adaptive execution off — same Catalyst
+    rules, static codegen assignment — purely for introspection."""
+    ids = set(re.findall(r"\[codegen id : (\d+)\]", plan_of(df)))
+    if ids or "AdaptiveSparkPlan" not in plan_of(df, "simple"):
+        return len(ids)
+    sess = df.sparkSession
+    prev = sess.conf.get("spark.sql.adaptive.enabled")
+    try:
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        # a fresh DataFrame over the same logical plan re-plans under the
+        # temporary conf; the original df's cached plan is untouched
+        ids = set(re.findall(r"\[codegen id : (\d+)\]", plan_of(df.select("*"))))
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", prev)
+    return len(ids)
+
+
+def audit(df: DataFrame, wide_scan_threshold: int = 12) -> dict:
     """One-call scale audit of a DataFrame's physical plan: the checks
     the engine's own plan-shape tests enforce, surfaced as a user-facing
     report (run it on a new query before pointing it at 100 TB).
@@ -111,12 +196,15 @@ def audit(df: DataFrame) -> dict:
     * ``cartesian_product`` — an unconstrained O(n²) join.
     * ``python_row_udf`` — row-at-a-time Python in the hot path
       (``BatchEvalPython``); rewrite as built-ins or an Arrow UDF.
-    * ``scan_without_pruning`` — a parquet scan that reads 12+ columns
-      with no pushed filter: usually a missing projection/filter (a
-      full-width scan is sometimes intended — judge with the stats).
+    * ``scan_without_pruning`` — SOME SINGLE scan reads
+      ``wide_scan_threshold``-plus columns (default 12) with no pushed
+      filter: usually a missing projection/filter (a full-width scan is
+      sometimes intended — judge with the stats).  Evaluated per scan,
+      so a query reading a few narrow columns from several tables is
+      not flagged.
 
-    Stats: shuffle/broadcast exchange counts, scans, pushed filter and
-    read-schema summaries, whole-stage-codegen span count, and the
+    Stats: shuffle/broadcast exchange counts, scans (with per-scan pushed
+    filters and read columns), whole-stage-codegen span count, and the
     Python-eval node count — the numbers to compare when choosing
     between two formulations of the same query.
     """
@@ -126,21 +214,22 @@ def audit(df: DataFrame) -> dict:
         hazards.append("cartesian_product")
     if has_python_row_udf(df):
         hazards.append("python_row_udf")
-    pushed = pushed_filters(df)
-    cols = read_schema(df)
-    # formatted explain lists each node twice (tree + detail) — halve
-    n_scans = plan.count("Scan parquet") // 2
-    if n_scans and not pushed and len(cols) >= 12:
+    scans = scan_details(df)
+    if any(
+        len(s["read_columns"]) >= wide_scan_threshold and not s["pushed_filters"]
+        for s in scans
+    ):
         hazards.append("scan_without_pruning")
     return {
         "hazards": hazards,
         "stats": {
-            "shuffle_exchanges": count_shuffle_exchanges(df) // 2,
-            "broadcast_exchanges": count_broadcast_exchanges(df) // 2,
-            "parquet_scans": n_scans,
-            "pushed_filters": pushed,
-            "read_columns": sorted(set(cols)),
-            "codegen_spans": plan.count("WholeStageCodegen") // 2,
-            "arrow_python_evals": plan.count("ArrowEvalPython") // 2,
+            "shuffle_exchanges": count_shuffle_exchanges(df),
+            "broadcast_exchanges": count_broadcast_exchanges(df),
+            "parquet_scans": sum(1 for s in scans if "parquet" in s["source"]),
+            "scans": scans,
+            "pushed_filters": [p for s in scans for p in s["pushed_filters"]],
+            "read_columns": sorted({c for s in scans for c in s["read_columns"]}),
+            "codegen_spans": count_codegen_spans(df),
+            "arrow_python_evals": plan_of(df, "simple").count("ArrowEvalPython"),
         },
     }

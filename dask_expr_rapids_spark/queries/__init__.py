@@ -37,98 +37,78 @@ from . import window  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver verification window: the driver's CORRECTNESS run covers the FIRST
 # 50 registered queries, so registration order is rotated each round to get
-# every query driver-verified on current code.  Round-7 window (the round-6
-# verdict's item #1 — close ALL remaining verification debt), by priority:
-#   * `rolling_time_5min` FIRST — the r4 driver failure (NTZ watermark);
-#     its fix has been locally green since round 5 but never driver-hashed,
-#   * the 3 queries never driver-verified by any window
-#     (dedup_exact_survivors, profile_lineitem_columns,
-#     stream_trending_event_types),
-#   * the 22 queries whose last driver hash is r2-stale (str/dt showcases,
-#     frame_api_*, roundtrips, sampling, misc breadth),
-#   * the remaining 24 slots back-fill with the oldest r4-window relational
-#     queries (q01.., joins, set ops) so their evidence stays fresh too.
-# After this round every one of the 125 registered queries has a driver
-# hash on r5-or-later code.  Every query NOT in the window stays locally
-# oracle-checked at sf0.001 by tests/test_correctness.py (same compare,
-# same DuckDB oracle); tests/test_registry_window.py pins the window to
-# exactly this list.
+# every query driver-verified on current code.  ROUND-7 window executes the
+# rotation plan committed in round 6 (and adds `ols_value_trend_by_type`,
+# which was registered after that plan was written — the r6 verdict's
+# item #1): lead with ALL 34 queries that have never been driver-verified
+# (round-6 session additions, all locally oracle-green), then back-fill the
+# remaining 16 slots with the oldest r4-window relational/aggregate queries
+# so their evidence stays fresh.  Every query NOT in the window stays
+# locally oracle-checked at sf0.001 by tests/test_correctness.py (same
+# compare, same DuckDB oracle); tests/test_registry_window.py pins the
+# window to exactly this list.
 #
-# ROUND-7 ROTATION PLAN (edit this list at the START of round 7): lead
-# with the 33 queries added after this window was pinned (round-6
-# sessions 2-3, never driver-verified): dedup_winnowing_fingerprints,
-# dedup_winnowing_components, compaction_roundtrip_documents,
-# stream_binned_quantiles_value, lexical_rarity_by_source,
-# cross_source_vocab_overlap, text_roundtrip_documents,
-# ann_pq_cosine_topk, binned_quantiles_event_value,
-# dedup_incremental_new_docs, ann_ivf_partitioned_store,
-# dedup_substring_spans, bm25_search_topk, phrase_search_topk,
-# merge_upsert_orders, scd2_customer_history, weighted_sample_by_source,
-# graph_triangle_stats, stream_upsert_dedup_sink,
-# funnel_view_click_purchase, cohort_retention_daily,
-# cooccurrence_word_pairs, incremental_agg_maintenance,
-# zorder_layout_stats, semantic_decontaminate_embeddings,
-# editdistance_join_prefixes, source_divergence_stats,
-# hard_negative_mining, curation_decision_table,
-# pointintime_dim_join_orders, stream_windowed_distinct_users,
-# ols_price_trend, naive_bayes_source_classifier;
-# back-fill the remaining 17 slots with the oldest r4-window relational
-# queries not re-verified in r6 (q18..q22 tail, aggregates, window fns).
+# ROUND-8 ROTATION PLAN (edit this list at the START of round 8): lead with
+# any queries added during round 7 (never driver-verified), then back-fill
+# with the oldest remaining r4-window queries: rollup_status_priority,
+# groupby_median_quantity, groupby_cov_corr, cumsum_user_value,
+# shift_diff_events, ffill_user_value, rolling_mean_7,
+# rank_orders_in_customer, groupby_head_first_orders,
+# resample_hourly_events, resample_daily_ohlc, then the oldest r5-window
+# queries (asof/range/skew/streaming/curation) in registration order.
 DRIVER_WINDOW: list[str] = [
-    # the r4 failure whose fix was never driver-confirmed
-    "rolling_time_5min",
-    # never driver-verified by any window
-    "dedup_exact_survivors",
-    "profile_lineitem_columns",
-    "stream_trending_event_types",
-    # r2-stale driver evidence
-    "explode_doc_words",
-    "str_accessor_showcase",
-    "dt_accessor_showcase",
-    "grouping_sets_status_year",
-    "window_fn_breadth",
-    "monotonic_user_events",
-    "csv_roundtrip_nation",
-    "parquet_roundtrip_supplier",
-    "text_fingerprint_rolling_hash",
-    "str_accessor_edit_ops",
-    "dt_accessor_calendar_edges",
-    "cumprod_linenumbers",
-    "frame_api_groupby_pipeline",
-    "frame_api_merge_value_counts",
-    "frame_api_shift_diff",
-    "frame_api_rolling_mean",
-    "rolling_center_mean_5",
-    "resample_quantile_daily",
-    "timedelta_user_span",
-    "merge_indicator_customer_orders",
-    "stratified_sample_documents",
-    "stratified_take_documents",
-    # back-fill: oldest r4-window relational queries (freshness rotation)
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q10_returned_items",
-    "join_semi_open_orders",
-    "join_anti_no_big_orders",
-    "join_outer_nation_customers",
-    "filter_project_arith",
-    "topk_orders_by_price",
-    "concat_union_all",
-    "set_intersect_nations",
-    "set_except_nations",
-    "q02_best_supplier_per_nation",
-    "q04_order_priority",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q12_priority_by_shipyear",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_brand_supplier_count",
-    "q17_small_quantity_revenue",
+    # never driver-verified: round-6 session additions (34)
+    "dedup_winnowing_fingerprints",
+    "dedup_winnowing_components",
+    "compaction_roundtrip_documents",
+    "stream_binned_quantiles_value",
+    "lexical_rarity_by_source",
+    "cross_source_vocab_overlap",
+    "text_roundtrip_documents",
+    "ann_pq_cosine_topk",
+    "binned_quantiles_event_value",
+    "dedup_incremental_new_docs",
+    "ann_ivf_partitioned_store",
+    "dedup_substring_spans",
+    "bm25_search_topk",
+    "phrase_search_topk",
+    "merge_upsert_orders",
+    "scd2_customer_history",
+    "weighted_sample_by_source",
+    "graph_triangle_stats",
+    "stream_upsert_dedup_sink",
+    "funnel_view_click_purchase",
+    "cohort_retention_daily",
+    "cooccurrence_word_pairs",
+    "incremental_agg_maintenance",
+    "zorder_layout_stats",
+    "semantic_decontaminate_embeddings",
+    "editdistance_join_prefixes",
+    "source_divergence_stats",
+    "hard_negative_mining",
+    "curation_decision_table",
+    "pointintime_dim_join_orders",
+    "stream_windowed_distinct_users",
+    "ols_price_trend",
+    "naive_bayes_source_classifier",
+    "ols_value_trend_by_type",
+    # back-fill: oldest r4-window relational/aggregate queries (16)
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q11_important_part_value",
+    "agg_global_stats",
+    "agg_var_std",
+    "value_counts_event_type",
+    "mode_event_type",
+    "idxmax_order_per_priority",
+    "quantile_quantity",
+    "distinct_segments",
+    "drop_duplicates_keep_min",
+    "pivot_returnflag_status",
+    "groupby_multi_agg",
 ]
 
 assert len(DRIVER_WINDOW) == 50, f"window must be exactly 50, got {len(DRIVER_WINDOW)}"

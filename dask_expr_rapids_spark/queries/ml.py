@@ -27,7 +27,6 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import DEC, dec2dbl_expr, dec_to_double, pround, pround_expr
@@ -158,7 +157,7 @@ def _qln(expr: str) -> str:
       SELECT doc_id, s AS predicted FROM (
         SELECT doc_id, s,
                ROW_NUMBER() OVER (PARTITION BY doc_id
-                                  ORDER BY score DESC, s) AS rn
+                                  ORDER BY score DESC, s DESC) AS rn
         FROM scored
       ) WHERE rn = 1
     )
@@ -233,11 +232,13 @@ def naive_bayes_source_classifier(spark, sf_dir):
             ).alias("score"),
         )
     )
-    win = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("s"))
-    pred = (
-        scored.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("s").alias("predicted"))
+    # Per-doc argmax as ONE hash aggregate (max_by over a (score, s)
+    # struct — ties break toward the lexicographically LAST class, mirrored
+    # in the oracle's ORDER BY score DESC, s DESC).  The previous
+    # row_number() window shuffled AND sorted the (docs x classes)
+    # relation; max_by gets map-side partial aggregation and no sort.
+    pred = scored.groupBy("doc_id").agg(
+        F.max_by("s", F.struct(F.col("score"), F.col("s"))).alias("predicted")
     )
     actual = dw.select("doc_id", "source").distinct()
     return (

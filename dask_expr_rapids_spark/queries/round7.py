@@ -60,7 +60,9 @@ _WORDS_SQL = f"""
     SELECT csw.source,
            CAST(SUM(csw.c) AS BIGINT) AS n_words,
            COUNT(*) AS vocab_size,
-           {pround_expr('CAST(SUM(csw.c * cw.cw) AS DOUBLE) / CAST(SUM(csw.c) AS DOUBLE)', 4)}
+           {pround_expr(
+               'CAST(SUM(CAST(csw.c AS DECIMAL(18,0)) * CAST(cw.cw AS DECIMAL(18,0)))'
+               ' AS DOUBLE) / CAST(SUM(csw.c) AS DOUBLE)', 4)}
              AS avg_word_corpus_count
     FROM csw JOIN cw ON csw.w = cw.w
     GROUP BY csw.source
@@ -83,9 +85,13 @@ def lexical_rarity_by_source(spark, sf_dir):
     return j.groupBy("source").agg(
         F.sum("c").alias("n_words"),
         F.count(F.lit(1)).alias("vocab_size"),
+        # cast BEFORE multiplying: c * cw in int64 silently wraps in
+        # non-ANSI Spark once cw reaches ~1e12 at corpus scale (the
+        # cluster_sums overflow lesson); decimal(19,0) x decimal(19,0)
+        # promotes to decimal(38,0), exact for any two bigint counts
         pround(
             F.sum(
-                (F.col("c") * F.col("cw")).cast("decimal(28,0)")
+                F.col("c").cast("decimal(19,0)") * F.col("cw").cast("decimal(19,0)")
             ).cast("double")
             / F.sum("c").cast("double"),
             4,

@@ -371,12 +371,24 @@ def run_upsert_dedup(spark: SparkSession, stage: str, store_dir: str, audit_dir:
         in_batch_dups = b.filter(F.col("__rn__") > 1).select("source", "doc_id")
         sess = batch_df.sparkSession
         if os.path.isdir(store_dir):
-            store_fp = sess.read.parquet(store_dir).select("fp")
-            hits = firsts.join(store_fp.hint("shuffle_hash"), "fp", "left_semi")
-            admitted = firsts.join(store_fp.hint("shuffle_hash"), "fp", "left_anti")
+            # Store fps are unique (only anti-joined firsts are ever
+            # appended), so this left join never fans out.
+            store_fp = (
+                sess.read.parquet(store_dir)
+                .select("fp")
+                .withColumn("__dup__", F.lit(True))
+            )
+            flagged = firsts.join(store_fp.hint("shuffle_hash"), "fp", "left")
         else:
-            hits = firsts.limit(0)
-            admitted = firsts
+            flagged = firsts.withColumn("__dup__", F.lit(None).cast("boolean"))
+        # Evaluate the admit/reject split ONCE, before anything is appended
+        # to the store: without this, the audit-log branch would re-read
+        # the store after the admitted rows landed and log every admitted
+        # row as rejected (correctness would hinge on the file index
+        # snapshotting its listing at DataFrame-creation time — fragile).
+        flagged = flagged.localCheckpoint()
+        admitted = flagged.filter(F.col("__dup__").isNull()).select(*firsts.columns)
+        hits = flagged.filter(F.col("__dup__").isNotNull())
         admitted.write.mode("append").parquet(store_dir)
         rejected = in_batch_dups.unionAll(hits.select("source", "doc_id"))
         rejected.write.mode("append").parquet(audit_dir)

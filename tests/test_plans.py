@@ -308,3 +308,55 @@ def test_audit_flags_hazards_and_reports_stats(spark):
     slow = udf(lambda x: x + 1, "long")
     py = audit(l.select(slow("l_orderkey").alias("x")))
     assert "python_row_udf" in py["hazards"]
+
+
+def test_audit_counts_shuffles_and_codegen_spans(spark):
+    """Regression (round-7 advice): formatted explain never contains the
+    substrings 'Exchange hashpartitioning' or 'WholeStageCodegen', so the
+    audit stats silently read 0.  A plan with a known shuffle and a known
+    codegen span must report >= 1 for both."""
+    from dask_expr_rapids_spark.plans import audit
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    shuffled = l.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    stats = audit(shuffled)["stats"]
+    assert stats["shuffle_exchanges"] >= 1
+    assert stats["codegen_spans"] >= 1
+
+    o = load_table(spark, SF_DIR, "orders")
+    joined = l.select("l_orderkey", "l_quantity").join(
+        F.broadcast(o.select("o_orderkey", "o_orderdate")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    assert audit(joined)["stats"]["broadcast_exchanges"] >= 1
+
+
+def test_audit_pruning_hazard_is_per_scan(spark):
+    """Regression (round-7 advice): the wide-unpruned-scan hazard must be
+    judged per scan, not on the concatenated column list — a query reading
+    a few narrow columns from several tables is healthy."""
+    from dask_expr_rapids_spark.plans import audit, scan_details
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    multi = (
+        l.select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    rep = audit(multi)
+    # 12 columns total across 3 scans, no filters — must NOT flag
+    assert len(rep["stats"]["read_columns"]) >= 12
+    assert "scan_without_pruning" not in rep["hazards"]
+    assert len(scan_details(multi)) == 3
+
+    # a genuinely unpruned wide single scan still flags (testdata lineitem
+    # has 11 columns, so pin the threshold below it)
+    wide = audit(load_table(spark, SF_DIR, "lineitem"), wide_scan_threshold=8)
+    assert "scan_without_pruning" in wide["hazards"]
+    # ...and the multi-scan query stays clean at that same threshold only
+    # because each scan is narrow — sanity: per-scan widths are all 4
+    assert all(len(s["read_columns"]) == 4 for s in scan_details(multi))
