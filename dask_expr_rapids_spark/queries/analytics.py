@@ -249,3 +249,108 @@ def cooccurrence_word_pairs(spark, sf_dir):
         )
     )
     return out.orderBy(F.desc("n_both"), "w1", "w2").limit(_COOC_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Robust outlier detection per group: median/MAD z-scores (the modified
+# z-score of Iglewicz & Hoaglin) — the data-quality screen that, unlike
+# mean/std, is not itself corrupted by the outliers it hunts.
+#
+# Determinism: the median is the LOWER median — the element at rank
+# ceil(n/2) — selected by integer rank, so there is NO float interpolation
+# anywhere (interpolated medians differ between engines in the last ulp
+# and a last-ulp median shifts boundary outliers).  The outlier test
+# multiplies through instead of dividing: 0.6745 * |x - med| > 3.5 * MAD,
+# identical IEEE ops in both engines.
+#
+# Scale posture: each median is one window sort over the events relation,
+# partitioned by group — sort-based, no per-group in-memory percentile
+# collection (Spark's percentile() buffers a group's values; a hot group
+# at 100 TB OOMs it).  Two sorted passes (median, then MAD) + one final
+# aggregate = three shuffles total, all on the same group key.
+# --------------------------------------------------------------------------
+_RANKED_SQL = """
+    ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, MIN(value) AS med FROM ranked
+      WHERE rn = (n + 1) // 2 GROUP BY event_type
+    ),
+    adev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    adev_ranked AS (
+      SELECT event_type, ad,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM adev
+    ),
+    mad AS (
+      SELECT event_type, MIN(ad) AS mad FROM adev_ranked
+      WHERE rn = (n + 1) // 2 GROUP BY event_type
+    )
+"""
+
+
+@register(
+    "robust_outliers_by_type",
+    f"""
+    WITH {_RANKED_SQL}
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {pround_expr('MIN(a.med)', 6)} AS median,
+           {pround_expr('MIN(d.mad)', 6)} AS mad,
+           CAST(SUM(CASE WHEN 0.6745 * a.ad > 3.5 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM adev a JOIN mad d ON a.event_type = d.event_type
+    GROUP BY a.event_type
+    """,
+)
+def robust_outliers_by_type(spark, sf_dir):
+    """Per-event-type robust outlier counts via median/MAD modified
+    z-scores; see the block comment for the determinism and scale
+    contract."""
+    from pyspark.sql import Window as W
+
+    e = spread(load_table(spark, sf_dir, "events")).select("event_type", "value")
+
+    def lower_median(df, col, out):
+        w = W.partitionBy("event_type").orderBy(col)
+        wn = W.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        return (
+            ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+            .groupBy("event_type")
+            .agg(F.min(col).alias(out))
+        )
+
+    med = lower_median(e, "value", "med")
+    a = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    a = cache_scoped(a)
+    mad = lower_median(a, "ad", "mad")
+    return (
+        a.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.min("med"), 6).alias("median"),
+            pround(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(0.6745 * F.col("ad") > 3.5 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -315,3 +315,280 @@ def ols_value_trend_by_type(spark, sf_dir):
         pround(slope, 8).alias("slope"),
         pround(intercept, 4).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# K-means clustering as aggregation — Lloyd's algorithm with every
+# arithmetic step integer-exact, so the fitted clustering is bit-identical
+# on any cluster size AND in the DuckDB oracle:
+#
+# * vectors are quantized to 1e-6 integers and SHIFTED non-negative
+#   (+2e6), so the centroid update's truncating integer division IS floor
+#   division in both engines (the shift cancels in every distance).
+# * assignment packs (dist, cid) into ONE bigint — dist * K + cid — so
+#   argmin-with-deterministic-tiebreak is a single array_min and the
+#   packed value is computed ONCE per row (two separate dist/cid columns
+#   would each re-evaluate the k x dim HOF after CollapseProject
+#   re-inlines the alias).
+#
+# Scale posture: per iteration the corpus is scanned once; assignment is
+# MAP-ONLY (centroids ride in as a broadcast 1-row packed relation — never
+# a collect); the centroid update shuffles only the partial-aggregated
+# (cid, dim) sums — k x dim rows per task — and re-assembles k arrays.
+# Fixed 2 update rounds + final assignment = 3 corpus passes, the textbook
+# distributed k-means plan.  The per-row k x dim distance loop runs on
+# Spark's interpreted HOF path, fine at 64 dims x k=4; a 1000-dim
+# production store would swap the assignment expression for an
+# Arrow-batched matmul UDF (same contract; quantized ints < 2^53 keep
+# float64 matmul exact).
+# --------------------------------------------------------------------------
+_KM_K = 4
+_KM_DIM = 64
+_KM_B = 2_000_000  # shift: q = round(x * 1e6) + B >= 0 for |x| <= 2
+
+_KM_QR_SQL = f"""
+    qr AS (
+      SELECT vec_id, u,
+             CAST(round(CAST(embedding[CAST(u AS INT) + 1] AS DOUBLE)
+                        * 1000000, 0) AS BIGINT) + {_KM_B} AS q
+      FROM embeddings CROSS JOIN (SELECT unnest(range({_KM_DIM})) AS u) u
+    )
+"""
+
+
+def _km_assign_sql(c: str, a: str) -> str:
+    return f"""
+    {a}_d AS (
+      SELECT qr.vec_id, c.cid, SUM((qr.q - c.cq) * (qr.q - c.cq)) AS dist
+      FROM qr JOIN {c} c ON qr.u = c.u
+      GROUP BY qr.vec_id, c.cid
+    ),
+    {a} AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM {a}_d)
+      WHERE rn = 1
+    )"""
+
+
+def _km_update_sql(a: str, c: str) -> str:
+    # trunc-div == floor-div: q >= 0 by the +B shift
+    return f"""
+    {c} AS (
+      SELECT a.cid, qr.u, CAST(SUM(qr.q) // COUNT(*) AS BIGINT) AS cq
+      FROM {a} a JOIN qr ON a.vec_id = qr.vec_id
+      GROUP BY a.cid, qr.u
+    )"""
+
+
+@register(
+    "kmeans_embedding_clusters",
+    f"""
+    WITH {_KM_QR_SQL},
+    c0 AS (SELECT vec_id AS cid, u, q AS cq FROM qr WHERE vec_id < {_KM_K}),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_update_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')},
+    {_km_update_sql('a2', 'c2')},
+    {_km_assign_sql('c2', 'a3')}
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+           {pround_expr(
+               dec2dbl_expr("SUM(CAST(dist AS DECIMAL(30,8)))")
+               + " / 1000000000000.0", 6)} AS inertia
+    FROM a3 GROUP BY cid
+    """,
+)
+def kmeans_embedding_clusters(spark, sf_dir):
+    """K-means (k=4, 2 Lloyd updates + final assignment) over the
+    embeddings table; returns per-cluster size and inertia (sum of squared
+    distances, in original float units).  Seeds = the k smallest vec_ids.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = F.expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0)"
+        f" AS BIGINT) + {_KM_B})"
+    )
+    vecs = cache_scoped(e.select("vec_id", qv.alias("qv")))
+    cents = vecs.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("carr")
+    )
+
+    # packed argmin: min over dist*K + cid  ==  (min dist, tie -> min cid);
+    # every term is non-negative so the packing preserves order
+    best_expr = F.expr(
+        "array_min(transform(cents, c -> aggregate("
+        "zip_with(qv, c.carr, (a, b) -> (a - b) * (a - b)),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x) * {_KM_K} + c.cid))"
+    )
+
+    def assign(centroids):
+        packed = centroids.agg(
+            F.collect_list(F.struct("cid", "carr")).alias("cents")
+        )
+        return vecs.crossJoin(F.broadcast(packed)).select(
+            "vec_id", "qv", best_expr.alias("best")
+        )
+
+    for _ in range(2):
+        assigned = assign(cents)
+        # generator in its own select (struct-name-loss gotcha)
+        keyed = assigned.select(
+            (F.col("best") % _KM_K).alias("cid"), "qv"
+        )
+        per_dim = keyed.select("cid", F.posexplode("qv").alias("u", "q"))
+        sums = per_dim.groupBy("cid", "u").agg(
+            F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        cents = (
+            sums.select("cid", "u", F.expr("s DIV n").alias("cq"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("u", "cq"))),
+                    lambda st: st["cq"],
+                ).alias("carr")
+            )
+            .localCheckpoint()  # k tiny rows; truncates the iteration lineage
+        )
+    final = assign(cents)
+    return final.groupBy((F.col("best") % _KM_K).alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        pround(
+            dec_to_double(F.sum((F.col("best") / F.lit(_KM_K)).cast("long").cast(DEC)), 8)
+            / F.lit(1_000_000_000_000.0),
+            6,
+        ).alias("inertia"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model quality scoring (the CCNet-style LM filter as
+# aggregation): train a Laplace-smoothed bigram LM on the corpus — which
+# IS the (w1, w2) count table, one shuffle — then score every document's
+# per-bigram negative log-likelihood in-sample and roll it up by source.
+# High avg NLL = rare-transition-heavy (noisy) text; low = boilerplate.
+#
+# Same determinism contract as Naive Bayes: every ln is quantized at 1e-9
+# before the exact-decimal per-doc sum; per-doc NLL is quantized at 1e-9
+# before the exact-decimal per-source mean.  exp() is deliberately never
+# taken (perplexity = exp(nll) is monotone in nll, and libm exp differs
+# across engines in the last ulp).
+#
+# Scale posture: bigrams never materialize per-position rows in Spark —
+# they are zip_with'd from the token array and pre-aggregated per doc
+# BEFORE any join; scoring joins the doc's distinct bigrams to the model
+# (fan-out 1) + the left-context counts (fan-out 1) with the vocab scalar
+# as a broadcast relation.  Nothing is ever doc x vocab.
+# --------------------------------------------------------------------------
+@register(
+    "bigram_lm_nll_by_source",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS l
+      FROM documents WHERE trim(text) <> ''
+    ),
+    bg AS (
+      SELECT doc_id, source, l[pos] AS w1, l[pos + 1] AS w2
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS pos) t
+    ),
+    docbg AS (
+      SELECT doc_id, source, w1, w2, COUNT(*) AS n_occ
+      FROM bg GROUP BY doc_id, source, w1, w2
+    ),
+    c12 AS (SELECT w1, w2, CAST(SUM(n_occ) AS BIGINT) AS c12
+            FROM docbg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(n_occ) AS BIGINT) AS c1
+           FROM docbg GROUP BY w1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+              FROM (SELECT unnest(l) AS w FROM d)),
+    terms AS (
+      SELECT b.doc_id, b.source,
+             SUM(CAST(b.n_occ * ({_qln('CAST(c12.c12 AS DOUBLE) + 1.0')}
+                                 - {_qln('CAST(c1.c1 AS DOUBLE) + CAST(vocab.v AS DOUBLE)')})
+                      AS DECIMAL(30,8))) AS s,
+             CAST(SUM(b.n_occ) AS BIGINT) AS n_bg
+      FROM docbg b
+      JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN vocab
+      GROUP BY b.doc_id, b.source
+    ),
+    doc_nll AS (
+      SELECT doc_id, source,
+             {pround_expr(f"-({dec2dbl_expr('s')}) / CAST(n_bg AS DOUBLE)", 9)} AS nll
+      FROM terms
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {pround_expr(
+               dec2dbl_expr("SUM(CAST(nll AS DECIMAL(30,8)))")
+               + " / CAST(COUNT(*) AS DOUBLE)", 6)} AS avg_nll
+    FROM doc_nll GROUP BY source
+    """,
+)
+def bigram_lm_nll_by_source(spark, sf_dir):
+    """Laplace-smoothed bigram LM trained on the corpus, scored in-sample:
+    per-source doc count and mean per-bigram negative log-likelihood."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    docs = d.filter(F.trim("text") != "").select(
+        "doc_id", "source", F.split(norm, " ").alias("ws")
+    )
+    bg_arr = F.expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+        " (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    with_bg = docs.select("doc_id", "source", bg_arr.alias("bg"))
+    # generator in its own select (struct-name-loss gotcha)
+    exploded = with_bg.select("doc_id", "source", F.explode("bg").alias("p"))
+    docbg = cache_scoped(
+        exploded.select("doc_id", "source", "p.w1", "p.w2")
+        .groupBy("doc_id", "source", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    c12 = docbg.groupBy("w1", "w2").agg(F.sum("n_occ").cast("long").alias("c12"))
+    c1 = docbg.groupBy("w1").agg(F.sum("n_occ").cast("long").alias("c1"))
+    vocab = (
+        docs.select(F.explode("ws").alias("w"))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+
+    def qln(col):
+        return F.floor(F.log(col) * _NB_Q + F.lit(0.5)).cast("double") / _NB_Q
+
+    terms = (
+        docbg.join(c12.hint("shuffle_hash"), ["w1", "w2"])
+        .join(c1.hint("shuffle_hash"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.col("n_occ")
+                * (
+                    qln(F.col("c12").cast("double") + 1.0)
+                    - qln(F.col("c1").cast("double") + F.col("v").cast("double"))
+                )
+            ).cast(DEC).alias("t"),
+            "n_occ",
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            dec_to_double(F.sum("t"), 8).alias("s"),
+            F.sum("n_occ").cast("long").alias("n_bg"),
+        )
+    )
+    doc_nll = terms.select(
+        "doc_id",
+        "source",
+        pround(-F.col("s") / F.col("n_bg").cast("double"), 9).alias("nll"),
+    )
+    return doc_nll.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pround(
+            dec_to_double(F.sum(F.col("nll").cast(DEC)), 8)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_nll"),
+    )

@@ -333,3 +333,52 @@ def stream_windowed_distinct_users(spark, sf_dir):
         output_mode="complete",
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# The SHARDED exact-distinct variant — the production mitigation the plain
+# chained pipeline above documents: (1) the dedup state partition count is
+# sized from input bytes (the sessionize lesson — a fixed count either
+# OOMs at 100× or wastes per-partition commit cost at 1×), pinned by an
+# explicit repartition on the dedup keys (which satisfies the stateful
+# operator's required clustering, so no extra exchange); (2) the windowed
+# count is computed per (window, user-shard) so no single window key ever
+# concentrates one reducer's state, and the windows x shards partials are
+# rolled up to exact per-window totals by a trivial batch aggregate over
+# the sink.  Same oracle as the unsharded query — sharding must not change
+# the answer.
+# --------------------------------------------------------------------------
+_N_USER_SHARDS = 16
+
+
+@register(
+    "stream_sharded_distinct_users",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_sharded_distinct_users(spark, sf_dir):
+    """Exact distinct users per tumbling hour by a STREAMING job with
+    byte-sized state partitions and user-shard partial counts; oracle =
+    batch COUNT(DISTINCT)."""
+    size_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    state_partitions = max(8, min(512, size_bytes // (4 << 20)))
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    keyed = stream.select(F.window("ts", "1 hour").alias("w"), "user_id")
+    dedup = keyed.repartition(state_partitions, "w", "user_id").dropDuplicates(
+        ["w", "user_id"]
+    )
+    partial = dedup.groupBy(
+        "w", F.pmod("user_id", F.lit(_N_USER_SHARDS)).alias("shard")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = run_available_now(
+        partial.select(F.col("w.start").alias("window_start"), "shard", "n"),
+        f"stream_sharded_distinct_{next(_sink_counter)}",
+        output_mode="complete",
+    )
+    return out.groupBy("window_start").agg(
+        F.sum("n").cast("long").alias("n_users")
+    )

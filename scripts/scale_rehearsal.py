@@ -117,6 +117,15 @@ HEADLINE = [
     # queries like the other TPC-H shapes)
     "stream_windowed_distinct_users",
     "naive_bayes_source_classifier",
+    # round-7 additions: sharded distinct-users (the r6 verdict's watch
+    # item — rehearse the production mitigation), k-means over the scaled
+    # embeddings, bigram LM scoring and median/MAD outliers over the
+    # scaled corpus/events
+    "stream_sharded_distinct_users",
+    "kmeans_embedding_clusters",
+    "bigram_lm_nll_by_source",
+    "robust_outliers_by_type",
+    "ols_value_trend_by_type",
 ]
 
 
