@@ -68,6 +68,13 @@ HEADLINE = [
     "multimodal_decode_features",
     # streaming
     "stream_sessionize_users",
+    # round-7 additions: the NB argmax fix (the r6 verdict's perf item)
+    # plus the three new ML/statistics compositions, so the driver
+    # watches their plans every round
+    "naive_bayes_source_classifier",
+    "kmeans_embedding_clusters",
+    "bigram_lm_nll_by_source",
+    "robust_outliers_by_type",
 ]
 
 N_RUNS = 5
