@@ -592,3 +592,104 @@ def bigram_lm_nll_by_source(spark, sf_dir):
             6,
         ).alias("avg_nll"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf-law fit of the corpus vocabulary: OLS of ln(frequency) on ln(rank)
+# over the top-R words — the corpus-health diagnostic (natural text fits
+# slope ≈ -1; template/generated text bends the curve).  Composition of
+# the engine's own primitives: one (word) count shuffle -> top-R by
+# TakeOrdered (never a global sort of the full vocabulary) -> rank window
+# over R rows -> the closed-form OLS aggregate.  ln values quantized at
+# 1e-9 before the exact-decimal sufficient-statistic sums (the NB rule).
+# --------------------------------------------------------------------------
+_ZIPF_R = 1000
+
+
+@register(
+    "zipf_fit_vocabulary",
+    f"""
+    WITH freq AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w
+        FROM documents WHERE trim(text) <> ''
+      ) GROUP BY w
+    ),
+    top AS (SELECT w, c FROM freq ORDER BY c DESC, w LIMIT {_ZIPF_R}),
+    xy AS (
+      SELECT {_qln('CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS DOUBLE)')} AS x,
+             {_qln('CAST(c AS DOUBLE)')} AS y
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {dec2dbl_expr(f"SUM(CAST({pround_expr('x', 8)} AS DECIMAL(30,8)))")} AS sx,
+             {dec2dbl_expr(f"SUM(CAST({pround_expr('x * x', 8)} AS DECIMAL(30,8)))")} AS sxx,
+             {dec2dbl_expr(f"SUM(CAST({pround_expr('y', 8)} AS DECIMAL(30,8)))")} AS sy,
+             {dec2dbl_expr(f"SUM(CAST({pround_expr('x * y', 8)} AS DECIMAL(30,8)))")} AS sxy,
+             {dec2dbl_expr(f"SUM(CAST({pround_expr('y * y', 8)} AS DECIMAL(30,8)))")} AS syy
+      FROM xy
+    )
+    SELECT n,
+           {pround_expr(
+               "(CAST(n AS DOUBLE) * sxy - sx * sy)"
+               " / (CAST(n AS DOUBLE) * sxx - sx * sx)", 8)} AS slope,
+           {pround_expr(
+               "(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)"
+               "       / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)"
+               " / CAST(n AS DOUBLE)", 6)} AS intercept,
+           {pround_expr(
+               "((CAST(n AS DOUBLE) * sxy - sx * sy)"
+               " * (CAST(n AS DOUBLE) * sxy - sx * sy))"
+               " / ((CAST(n AS DOUBLE) * sxx - sx * sx)"
+               "    * (CAST(n AS DOUBLE) * syy - sy * sy))", 6)} AS r2
+    FROM s
+    """,
+)
+def zipf_fit_vocabulary(spark, sf_dir):
+    """OLS fit of ln(freq) ~ ln(rank) over the top-1000 vocabulary words:
+    returns (n, slope, intercept, r2) — one corpus shuffle + a 1000-row
+    rank window + a single-row closed-form solve."""
+    from pyspark.sql import Window as W
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    freq = (
+        d.filter(F.trim("text") != "")
+        .select(F.explode(F.split(norm, " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = freq.orderBy(F.desc("c"), "w").limit(_ZIPF_R)
+
+    def qln(col):
+        return F.floor(F.log(col) * _NB_Q + F.lit(0.5)).cast("double") / _NB_Q
+
+    rank = F.row_number().over(W.orderBy(F.desc("c"), "w"))
+    xy = top.select(
+        qln(rank.cast("double")).alias("x"), qln(F.col("c").cast("double")).alias("y")
+    )
+    # every sufficient-statistic term is re-quantized onto the 1e-8 grid
+    # BEFORE the decimal cast: a raw double at a decimal half-way point
+    # rounds differently in Spark (BigDecimal) vs DuckDB (scaled multiply)
+    # — observed here as a last-digit slope mismatch
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_to_double(F.sum(pround(F.col("x"), 8).cast(DEC)), 8).alias("sx"),
+        dec_to_double(F.sum(pround(F.col("x") * F.col("x"), 8).cast(DEC)), 8).alias("sxx"),
+        dec_to_double(F.sum(pround(F.col("y"), 8).cast(DEC)), 8).alias("sy"),
+        dec_to_double(F.sum(pround(F.col("x") * F.col("y"), 8).cast(DEC)), 8).alias("sxy"),
+        dec_to_double(F.sum(pround(F.col("y") * F.col("y"), 8).cast(DEC)), 8).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / n_d
+    r2 = (num * num) / (den * (n_d * F.col("syy") - F.col("sy") * F.col("sy")))
+    return s.select(
+        "n",
+        pround(slope, 8).alias("slope"),
+        pround(intercept, 6).alias("intercept"),
+        pround(r2, 6).alias("r2"),
+    )

@@ -422,3 +422,68 @@ def weighted_sample_by_source(spark, sf_dir):
         key="doc_id",
         weight="n_chars",
     ).select("source", "rank", "doc_id", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/val/test split: the split key is the exact-dedup
+# CLUSTER canonical (min doc_id per text fingerprint), not the doc — so
+# verbatim copies can never land on both sides of a train/eval boundary
+# (the classic contamination leak a doc-keyed split permits).  One
+# fingerprint window + the md5-uniform split arithmetic of
+# dataset_split_assign; leakage-safety is structural (every member of a
+# cluster hashes the same canonical), not checked after the fact.
+# --------------------------------------------------------------------------
+_U8_CANON_SQL = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(canon AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ") / 4294967296.0"
+)
+
+
+@register(
+    "leakage_safe_split_stats",
+    f"""
+    WITH canon AS (
+      SELECT doc_id, n_chars,
+             MIN(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS canon
+      FROM documents
+    ),
+    rated AS (SELECT doc_id, n_chars, canon, {_U8_CANON_SQL} AS u FROM canon)
+    SELECT CASE WHEN u < 0.90 THEN 'train'
+                WHEN u < 0.95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM rated
+    GROUP BY 1
+    """,
+)
+def leakage_safe_split_stats(spark, sf_dir):
+    """Cluster-keyed 90/5/5 split: per split, docs, distinct dedup
+    clusters, and chars.  A cluster is never divided across splits."""
+    from ..functions.text import fingerprint
+    from ..operators.sampling import hash_uniform
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = W.partitionBy(fingerprint(F.col("text")))
+    canon = d.select(
+        "doc_id", "n_chars", F.min("doc_id").over(w).alias("canon")
+    )
+    u = hash_uniform(F.col("canon"))
+    split = (
+        F.when(u < 0.90, "train").when(u < 0.95, "val").otherwise("test")
+    ).alias("split")
+    return (
+        canon.select(split, "n_chars", "canon")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canon").cast("long").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -126,6 +126,9 @@ HEADLINE = [
     "bigram_lm_nll_by_source",
     "robust_outliers_by_type",
     "ols_value_trend_by_type",
+    "zipf_fit_vocabulary",
+    "leakage_safe_split_stats",
+    "pagerank_word_centrality",
 ]
 
 
