@@ -30,6 +30,7 @@ from . import similarity_text  # noqa: E402,F401
 from . import curation_pipeline  # noqa: E402,F401
 from . import ml  # noqa: E402,F401
 from . import graphrank  # noqa: E402,F401
+from . import sketches  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import tpch_ext  # noqa: E402,F401
 from . import aggregates  # noqa: E402,F401

@@ -382,3 +382,118 @@ def stream_sharded_distinct_users(spark, sf_dir):
     return out.groupBy("window_start").agg(
         F.sum("n").cast("long").alias("n_users")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming deterministic HLL: per-hour distinct-user ESTIMATES with
+# 256-counter state per window — the sketch alternative to the exact
+# pipelines above, whose state is the full distinct (window, user) key
+# set (28 s / multi-GB state at the sf10 rehearsal).  HLL registers are
+# max-mergeable, so the streaming aggregation is just MAX(rho) per
+# (window, bucket): micro-batch order cannot change a max, making the
+# streamed estimate BIT-IDENTICAL to the batch HLL — the oracle below is
+# the batch computation, and the driver hash-compares the estimates.
+# --------------------------------------------------------------------------
+from .sketches import _HLL_ALPHA_SQL, _HLL_M, _qln_sql  # noqa: E402
+from .text import _md5_uint_sql  # noqa: E402
+
+
+@register(
+    "stream_hll_distinct_users",
+    f"""
+    WITH rows_ AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             CAST({_md5_uint_sql("CAST(user_id AS VARCHAR)", 15)} AS BIGINT) AS h
+      FROM events
+    ),
+    regs AS (
+      SELECT window_start, h % {_HLL_M} AS bucket,
+             MAX(CASE WHEN h // {_HLL_M} = 0 THEN 53
+                      ELSE 53 - length(bin(h // {_HLL_M})) END) AS m_raw
+      FROM rows_ GROUP BY 1, 2
+    ),
+    agg AS (
+      -- absent buckets (m=0) are folded in arithmetically: each adds
+      -- 2^53 to the harmonic sum and 1 to the zero-register count —
+      -- no 256-row spine join needed
+      SELECT window_start,
+             CAST(SUM(CAST(1 AS BIGINT) << (53 - m_raw))
+                  + ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 53)
+                  AS BIGINT) AS s,
+             CAST({_HLL_M} - COUNT(*) AS BIGINT) AS v
+      FROM regs GROUP BY window_start
+    ),
+    est AS (
+      SELECT window_start,
+             CASE WHEN raw <= 2.5 * {_HLL_M} AND v > 0
+                  THEN {_HLL_M}.0 * {_qln_sql(f"{_HLL_M}.0 / CAST(v AS DOUBLE)")}
+                  ELSE raw END AS e
+      FROM (SELECT window_start, v,
+                   {_HLL_ALPHA_SQL} * {_HLL_M}.0 * {_HLL_M}.0
+                     * 9007199254740992.0 / CAST(s AS DOUBLE) AS raw
+            FROM agg)
+    )
+    SELECT window_start, {{pround}} AS n_hll FROM est
+    """.replace("{pround}", "(CAST(floor(e * 10000.0 + 0.5) AS DOUBLE) / 10000.0)"),
+)
+def stream_hll_distinct_users(spark, sf_dir):
+    """Per-hour distinct-user HLL estimates computed BY A STREAMING JOB
+    (max-merged registers, 256-counter state per window); oracle = the
+    identical batch HLL — the estimates hash-match because max-merge is
+    order-insensitive and every downstream step is integer-exact."""
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    keyed = stream.select(
+        F.window("ts", "1 hour").alias("w"),
+        (h % _HLL_M).alias("bucket"),
+        h.alias("h"),
+    ).select(
+        "w",
+        "bucket",
+        F.when(F.expr(f"h DIV {_HLL_M}") == 0, 53)
+        .otherwise(53 - F.length(F.bin(F.expr(f"h DIV {_HLL_M}"))))
+        .alias("rho"),
+    )
+    regs = keyed.groupBy("w", "bucket").agg(F.max("rho").alias("m_raw"))
+    out = run_available_now(
+        regs.select(F.col("w.start").alias("window_start"), "bucket", "m_raw"),
+        f"stream_hll_{next(_sink_counter)}",
+        output_mode="complete",
+    )
+    # Absent buckets (register 0) folded in arithmetically — no spine
+    # join (which would also self-join the memory-sink relation).
+    agg = out.groupBy("window_start").agg(
+        (
+            F.sum(F.expr("CAST(1 AS BIGINT) << (53 - m_raw)"))
+            + (F.lit(_HLL_M) - F.count("*")) * F.lit(1 << 53)
+        )
+        .cast("long")
+        .alias("s"),
+        (F.lit(_HLL_M) - F.count("*")).cast("long").alias("v"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_M))
+        * F.lit(9007199254740992.0)
+        / F.col("s").cast("double")
+    )
+    qln = lambda c: F.floor(F.log(c) * 1_000_000_000 + F.lit(0.5)).cast("double") / 1_000_000_000  # noqa: E731
+    est = agg.select(
+        "window_start",
+        F.when(
+            (raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+            F.lit(float(_HLL_M)) * qln(F.lit(float(_HLL_M)) / F.col("v").cast("double")),
+        )
+        .otherwise(raw)
+        .alias("e"),
+    )
+    return est.select(
+        "window_start",
+        (F.floor(F.col("e") * 10000.0 + F.lit(0.5)).cast("double") / 10000.0).alias(
+            "n_hll"
+        ),
+    )
