@@ -111,10 +111,12 @@ HEADLINE = [
     "zorder_layout_stats",
     "hard_negative_mining",
     "curation_decision_table",
-    # (pointintime_dim_join_orders and ols_price_trend are
-    # orders/customer-based — the rehearsal generator scales
-    # documents/embeddings/events/lineitem only, so they stay sf<=0.1
-    # queries like the other TPC-H shapes)
+    # mutation / point-in-time set (orders+customer scaled together —
+    # fact AND dimension cardinality grow, per-key fan-out constant)
+    "merge_upsert_orders",
+    "scd2_customer_history",
+    "pointintime_dim_join_orders",
+    "ols_price_trend",
     "stream_windowed_distinct_users",
     "naive_bayes_source_classifier",
     # round-7 additions: sharded distinct-users (the r6 verdict's watch
@@ -129,6 +131,8 @@ HEADLINE = [
     "zipf_fit_vocabulary",
     "leakage_safe_split_stats",
     "pagerank_word_centrality",
+    "hll_distinct_users",
+    "stream_hll_distinct_users",
 ]
 
 
@@ -254,6 +258,34 @@ def make_lineitem() -> None:
     )
 
 
+def make_orders_customer() -> None:
+    """10×SCALE orders + customer by key-offset replication — BOTH sides
+    of the dimension join scale (more customers, not denser ones), so the
+    SCD2/point-in-time set rehearses constant per-key fan-out.  The 10M
+    offset is a multiple of the %5/%7/%13/%15 branch moduli, so every
+    replica has the same matched/updated/inserted mix as the original."""
+    import duckdb
+
+    reps = 10 * SCALE
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT c.* REPLACE (c_custkey + r * 10000000 AS c_custkey)
+          FROM read_parquet('{SRC}/customer.parquet') c, range({reps}) t(r)
+        ) TO '{os.path.join(OUT, "customer.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT o.* REPLACE (o_orderkey + r * 10000000 AS o_orderkey,
+                              o_custkey + r * 10000000 AS o_custkey)
+          FROM read_parquet('{SRC}/orders.parquet') o, range({reps}) t(r)
+        ) TO '{os.path.join(OUT, "orders.parquet")}' (FORMAT PARQUET)
+        """
+    )
+
+
 def main() -> None:
     if not (
         os.path.exists(os.path.join(OUT, "documents.parquet"))
@@ -269,6 +301,12 @@ def main() -> None:
         make_events(rng)
         make_lineitem()
         print(f"generated sf1 data in {time.time() - t0:.1f}s -> {OUT}")
+    if not os.path.exists(os.path.join(OUT, "orders.parquet")):
+        # added round 7 (rng-free, so augmenting an existing dir is safe)
+        os.makedirs(OUT, exist_ok=True)
+        t0 = time.time()
+        make_orders_customer()
+        print(f"generated orders/customer in {time.time() - t0:.1f}s -> {OUT}")
 
     from dask_expr_rapids_spark.queries import queries
     from dask_expr_rapids_spark.session import get_spark

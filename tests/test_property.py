@@ -191,3 +191,112 @@ def test_interval_join_property_matches_naive(spark, data, bucket):
         if i.lo_s <= p.sec <= i.hi_s
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# GroupBy agg-spec compiler (operators/frame.py GroupBy.agg): random
+# dict/list/str/callable specs — including mixed JVM + pandas-UDF specs,
+# which exercise the two-aggregate join path — must match eager pandas.
+# The reference leans hardest on groupby differential coverage
+# (dask_expr/tests/test_groupby.py); this generalizes those fixed cases.
+# ---------------------------------------------------------------------------
+
+_GB_FNS = ["sum", "mean", "min", "max", "count", "nunique", "median", "var", "std"]
+
+
+def _spread(s):
+    return float(s.max() - s.min())
+
+
+@st.composite
+def gb_frames(draw):
+    n = draw(st.integers(min_value=2, max_value=30))
+    k = draw(st.lists(st.integers(min_value=-2, max_value=2), min_size=n, max_size=n))
+    a = draw(st.lists(finite, min_size=n, max_size=n))
+    b = draw(st.lists(st.integers(min_value=-50, max_value=50), min_size=n, max_size=n))
+    return pd.DataFrame(
+        {
+            "k": np.array(k, dtype="int64"),
+            "a": np.array(a, dtype="float64"),
+            "b": np.array(b, dtype="int64"),
+        }
+    )
+
+
+@st.composite
+def agg_specs(draw):
+    kind = draw(
+        st.sampled_from(["str", "list", "dict", "dict_multi", "callable", "mixed"])
+    )
+    if kind == "str":
+        return draw(st.sampled_from(_GB_FNS))
+    if kind == "list":
+        return draw(
+            st.lists(st.sampled_from(_GB_FNS), min_size=1, max_size=3, unique=True)
+        )
+    if kind == "dict":
+        cols = draw(
+            st.lists(st.sampled_from(["a", "b"]), min_size=1, max_size=2, unique=True)
+        )
+        return {c: draw(st.sampled_from(_GB_FNS)) for c in cols}
+    if kind == "dict_multi":
+        return {
+            c: draw(
+                st.lists(st.sampled_from(_GB_FNS), min_size=1, max_size=3, unique=True)
+            )
+            for c in ["a", "b"]
+        }
+    if kind == "callable":
+        return _spread
+    # mixed JVM aggregates + a pandas-UDF callable in one spec → the
+    # compiler must split into two aggregates and rejoin on the keys
+    return {"a": [draw(st.sampled_from(_GB_FNS)), _spread], "b": "sum"}
+
+
+def _expected_entries(spec, value_cols):
+    """Mirror of GroupBy.agg's alias rules: (col, fn, alias) triples."""
+    if isinstance(spec, str):
+        return [(c, spec, c) for c in value_cols]
+    if callable(spec):
+        nm = getattr(spec, "__name__", "agg")
+        return [(c, spec, f"{c}_{nm}") for c in value_cols]
+    if isinstance(spec, dict):
+        out = []
+        for col, fns in spec.items():
+            single = isinstance(fns, str) or callable(fns)
+            for f in fns if isinstance(fns, (list, tuple)) else [fns]:
+                nm = f if isinstance(f, str) else getattr(f, "__name__", "agg")
+                out.append((col, f, col if single else f"{col}_{nm}"))
+        return out
+    return [
+        (c, f, f"{c}_{f if isinstance(f, str) else getattr(f, '__name__', 'agg')}")
+        for f in spec
+        for c in value_cols
+    ]
+
+
+def _pd_agg(s, fn):
+    return fn(s) if callable(fn) else getattr(s, fn)()
+
+
+@given(pdf=gb_frames(), spec=agg_specs())
+@_settings
+def test_groupby_agg_spec_matches_pandas(spark, pdf, spec):
+    f = SparkFrame.from_pandas(spark, pdf, npartitions=3)
+    got = f.groupby("k").agg(spec).to_pandas().sort_index()
+    entries = _expected_entries(spec, ["a", "b"])
+    groups = pdf.groupby("k")
+    assert sorted(got.index.tolist()) == sorted(groups.groups)
+    for key, g in groups:
+        for col, fn, alias in entries:
+            want = _pd_agg(g[col], fn)
+            have = got.loc[key, alias]
+            if pd.isna(want):
+                assert pd.isna(have), (key, alias, have)
+            else:
+                assert have == pytest.approx(want, rel=1e-9, abs=1e-9), (
+                    key,
+                    alias,
+                    have,
+                    want,
+                )
