@@ -75,6 +75,10 @@ HEADLINE = [
     "kmeans_embedding_clusters",
     "bigram_lm_nll_by_source",
     "robust_outliers_by_type",
+    # round-7 late additions: deterministic HLL + the 8th dedup strategy
+    # (image perceptual hash over the binary payload column)
+    "hll_distinct_users",
+    "dedup_image_phash",
 ]
 
 N_RUNS = 5

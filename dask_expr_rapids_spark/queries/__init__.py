@@ -31,6 +31,7 @@ from . import curation_pipeline  # noqa: E402,F401
 from . import ml  # noqa: E402,F401
 from . import graphrank  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
+from . import vectorize  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import tpch_ext  # noqa: E402,F401
 from . import aggregates  # noqa: E402,F401
@@ -51,7 +52,14 @@ from . import window  # noqa: E402,F401
 # window to exactly this list.
 #
 # ROUND-8 ROTATION PLAN (edit this list at the START of round 8): lead with
-# any queries added during round 7 (never driver-verified), then back-fill
+# the queries added during round 7 (never driver-verified):
+# kmeans_embedding_clusters, bigram_lm_nll_by_source,
+# robust_outliers_by_type, stream_sharded_distinct_users,
+# zipf_fit_vocabulary, leakage_safe_split_stats, pagerank_word_centrality,
+# hll_distinct_users, stream_hll_distinct_users, dedup_image_phash,
+# cms_user_frequency, stream_cms_heavy_hitters, tfidf_hashed_features,
+# snapshot_diff_orders —
+# plus anything registered after this comment was written — then back-fill
 # with the oldest remaining r4-window queries: rollup_status_priority,
 # groupby_median_quantity, groupby_cov_corr, cumsum_user_value,
 # shift_diff_events, ffill_user_value, rolling_mean_7,

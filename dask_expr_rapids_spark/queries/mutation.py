@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import pround, pround_expr
+from ..functions.exact import dsum_expr, pround, pround_expr
 from ..sources.tables import load_table, spread
 from .registry import register
 
@@ -265,4 +265,111 @@ def pointintime_dim_join_orders(spark, sf_dir):
         pround(F.col("o_totalprice") + F.col("asof_acctbal"), 2).alias(
             "price_plus_balance"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff: classify every key across two table versions as
+# added / removed / changed / unchanged — the audit primitive behind
+# lakehouse time travel, CDC reconciliation, and incremental-ingest
+# validation.  v2 is derived deterministically from v1 (update branch
+# k%7=0, delete branch k%11=5 with delete-wins, inserts as negative
+# k%13=0 keys), so the diff exercises all four classes.
+#
+# Plan shape: both versions project from ONE cached scan; the diff is a
+# single full-outer hash join on the key (both sides shuffle-partitioned
+# by o_orderkey — at 100 TB this is the canonical co-partitioned diff,
+# and with both versions bucketed on the key it would be exchange-free).
+# Aggregation to per-class counts + an exact decimal price delta keeps
+# the output O(1).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_diff_orders",
+    f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS st,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS pr
+      FROM orders WHERE o_orderkey % 11 <> 5
+      UNION ALL
+      SELECT -o_orderkey AS k, 'I' AS st, o_totalprice AS pr
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    diff AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.st <> b.st OR a.pr <> b.pr THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(b.pr, 0.0) - COALESCE(a.pr, 0.0) AS delta
+      FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           {pround_expr(dsum_expr('delta'), 2)} AS net_price_delta
+    FROM diff GROUP BY status
+    """,
+)
+def snapshot_diff_orders(spark, sf_dir):
+    """Diff two deterministic versions of orders: per-class row counts
+    (added/removed/changed/unchanged) and the exact net price delta, via
+    one full-outer key join over a single cached scan."""
+    from ..functions.exact import dsum
+    from .registry import cache_scoped
+
+    o = cache_scoped(
+        spread(load_table(spark, sf_dir, "orders")).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    v1 = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("pr"),
+    )
+    upd = F.col("o_orderkey") % 7 == 0
+    v2 = (
+        o.filter(F.col("o_orderkey") % 11 != 5)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(upd, "U").otherwise(F.col("o_orderstatus")).alias("st"),
+            F.when(upd, F.col("o_totalprice") * 1.1)
+            .otherwise(F.col("o_totalprice"))
+            .alias("pr"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 13 == 0).select(
+                (-F.col("o_orderkey")).alias("k"),
+                F.lit("I").alias("st"),
+                F.col("o_totalprice").alias("pr"),
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    status = (
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(
+            (F.col("a.st") != F.col("b.st")) | (F.col("a.pr") != F.col("b.pr")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    diff = joined.select(
+        status.alias("status"),
+        (
+            F.coalesce(F.col("b.pr"), F.lit(0.0))
+            - F.coalesce(F.col("a.pr"), F.lit(0.0))
+        ).alias("delta"),
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        pround(dsum("delta"), 2).alias("net_price_delta"),
     )

@@ -147,3 +147,110 @@ def hll_distinct_users(spark, sf_dir):
             6,
         ).alias("rel_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic Count-Min sketch — approximate frequency counting with the
+# same discipline as the HLL above: md5-derived row hashes, integer-only
+# arithmetic, so the ESTIMATES hash-match the DuckDB oracle.  CMS counters
+# are SUM-mergeable, making the sketch a 4096-group map-side-combinable
+# aggregate: at 100 TB each partition collapses to <= d*w rows before the
+# shuffle, the canonical bounded-memory frequency plan (Cormode &
+# Muthukrishnan 2005).  Guarantee surfaced in the output: estimate >=
+# exact always (overcount >= 0), within eps*N with probability 1-delta.
+# --------------------------------------------------------------------------
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # buckets per row
+_CMS_TOPK = 20
+
+#: Spark-side array of the _CMS_D cell coordinates for one user_id.
+_CMS_CELLS_EXPR = (
+    f"transform(sequence(0, {_CMS_D - 1}), r -> "
+    f"CAST(conv(substr(md5(concat('cms', CAST(r AS STRING), ':', "
+    f"CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % {_CMS_W})"
+)
+
+
+def _cms_hash_sql(r_expr: str) -> str:
+    """DuckDB twin of one CMS row hash (row index expression ``r_expr``)."""
+    payload = (
+        f"'cms' || CAST({r_expr} AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+    )
+    return f"({_md5_uint_sql(payload, 15)} % {_CMS_W})"
+
+
+_CMS_FINISH_SQL = f"""
+    top AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id ASC LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+      SELECT user_id, exact_n, r, {_cms_hash_sql('r')} AS bucket
+      FROM top, LATERAL (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r) t
+    )
+    SELECT p.user_id, p.exact_n,
+           CAST(MIN(COALESCE(s.n, 0)) AS BIGINT) AS cms_n,
+           CAST(MIN(COALESCE(s.n, 0)) - p.exact_n AS BIGINT) AS overcount
+    FROM probes p LEFT JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+    GROUP BY p.user_id, p.exact_n
+"""
+
+
+def cms_sketch(events):
+    """events -> the (r, bucket, n) Count-Min table (d*w rows max)."""
+    cells = events.select(F.posexplode(F.expr(_CMS_CELLS_EXPR)))
+    return (
+        cells.select(F.col("pos").cast("long").alias("r"), F.col("col").alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def cms_finish(events, sketch):
+    """Join the exact top-k users against the sketch estimates."""
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(_CMS_TOPK)
+    )
+    probes = top.select("user_id", "exact_n", F.posexplode(F.expr(_CMS_CELLS_EXPR)))
+    probes = probes.select(
+        "user_id",
+        "exact_n",
+        F.col("pos").cast("long").alias("r"),
+        F.col("col").alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .groupBy("user_id", "exact_n")
+        .agg(F.min(F.coalesce("n", F.lit(0))).cast("long").alias("cms_n"))
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+
+
+@register(
+    "cms_user_frequency",
+    f"""
+    WITH cells AS (
+      SELECT r, {_cms_hash_sql('r')} AS bucket
+      FROM events, LATERAL (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r) t
+    ),
+    sketch AS (
+      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM cells GROUP BY 1, 2
+    ),
+    {_CMS_FINISH_SQL}
+    """,
+)
+def cms_user_frequency(spark, sf_dir):
+    """Count-Min frequency estimates for the exact top-{_CMS_TOPK} users:
+    (user, exact count, CMS estimate, overcount >= 0).  The sketch is one
+    bounded 4096-group aggregate regardless of stream size."""
+    e = spread(load_table(spark, sf_dir, "events"))
+    return cms_finish(e, cms_sketch(e))

@@ -497,3 +497,56 @@ def stream_hll_distinct_users(spark, sf_dir):
             "n_hll"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming Count-Min heavy hitters: the CMS counters are SUM-mergeable,
+# so a streaming complete-mode count over (r, bucket) — a FIXED 4096-row
+# state regardless of stream length — reproduces the batch sketch
+# bit-identically (addition is order-insensitive).  The exact top-k finish
+# runs batch-side against the streamed sketch; oracle = the batch CMS.
+# --------------------------------------------------------------------------
+from .sketches import (  # noqa: E402
+    _CMS_CELLS_EXPR,
+    _CMS_D,
+    _CMS_FINISH_SQL,
+    _cms_hash_sql,
+    cms_finish,
+)
+
+
+@register(
+    "stream_cms_heavy_hitters",
+    f"""
+    WITH cells AS (
+      SELECT r, {_cms_hash_sql('r')} AS bucket
+      FROM events, LATERAL (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r) t
+    ),
+    sketch AS (
+      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM cells GROUP BY 1, 2
+    ),
+    {_CMS_FINISH_SQL}
+    """,
+)
+def stream_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch built BY A STREAMING JOB (sum-merged 4096-counter
+    state — constant memory for any stream length) + batch exact top-k
+    finish; estimates bit-identical to the batch CMS."""
+    from ..sources.tables import load_table, spread
+
+    stream = _events_stream(spark, sf_dir)
+    cells = stream.select(F.posexplode(F.expr(_CMS_CELLS_EXPR)))
+    sk = (
+        cells.select(
+            F.col("pos").cast("long").alias("r"), F.col("col").alias("bucket")
+        )
+        .groupBy("r", "bucket")
+        .count()
+    )
+    out = run_available_now(
+        sk.select("r", "bucket", F.col("count").cast("long").alias("n")),
+        f"stream_cms_{next(_sink_counter)}",
+        output_mode="complete",
+    )
+    e = spread(load_table(spark, sf_dir, "events"))
+    return cms_finish(e, out)

@@ -133,6 +133,11 @@ HEADLINE = [
     "pagerank_word_centrality",
     "hll_distinct_users",
     "stream_hll_distinct_users",
+    "dedup_image_phash",
+    "cms_user_frequency",
+    "stream_cms_heavy_hitters",
+    "tfidf_hashed_features",
+    "snapshot_diff_orders",
 ]
 
 
