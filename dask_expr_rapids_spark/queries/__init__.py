@@ -58,7 +58,8 @@ from . import window  # noqa: E402,F401
 # zipf_fit_vocabulary, leakage_safe_split_stats, pagerank_word_centrality,
 # hll_distinct_users, stream_hll_distinct_users, dedup_image_phash,
 # cms_user_frequency, stream_cms_heavy_hitters, tfidf_hashed_features,
-# snapshot_diff_orders —
+# snapshot_diff_orders, sessionize_users_batch, peak_concurrency_daily,
+# bloom_semijoin_orders, hll_set_ops_users, dq_validation_report —
 # plus anything registered after this comment was written — then back-fill
 # with the oldest remaining r4-window queries: rollup_status_priority,
 # groupby_median_quantity, groupby_cov_corr, cumsum_user_value,

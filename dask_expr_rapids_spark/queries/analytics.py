@@ -354,3 +354,236 @@ def robust_outliers_by_type(spark, sf_dir):
             .alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization — the batch twin of stream_sessionize_users
+# (streaming/ops.py session_window): 30-minute inactivity-gap sessions via
+# lag + running sum, the classic warehouse formulation.
+#
+# Scale posture: ONE shuffle (hash on user_id for the window); the
+# per-session aggregate reuses the same partitioning (HashPartitioning on
+# user_id satisfies the (user_id, session_idx) clustered distribution —
+# no second exchange).  Determinism under ts ties: equal timestamps have
+# gap 0, so any tie order yields identical session boundaries and
+# identical per-session aggregates.
+# --------------------------------------------------------------------------
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "sessionize_users_batch",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                    OR ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM marked
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ts_us) AS BIGINT) AS start_us,
+           CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS dur_us
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_users_batch(spark, sf_dir):
+    """Gap-based (30 min) sessions per user: lag -> is_start -> running
+    sum -> per-session count/start/duration, all on one user_id shuffle."""
+    from pyspark.sql import Window as W
+
+    e = spread(load_table(spark, sf_dir, "events")).select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us")
+    lagged = F.lag("ts_us").over(w)
+    marked = e.withColumn(
+        "is_start",
+        F.when(
+            lagged.isNull() | (F.col("ts_us") - lagged > _SESSION_GAP_US), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_idx",
+        F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts_us").cast("long").alias("start_us"),
+        (F.max("ts_us") - F.min("ts_us")).cast("long").alias("dur_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Peak concurrency by day — the sweep-line pattern (capacity planning:
+# "how many sessions were open at the worst moment?").  Sessions become
+# +1/-1 delta events; concurrency is the running sum.
+#
+# The naive formulation needs ONE GLOBAL SORT of all deltas — a scale
+# killer.  This plan is day-partitioned: each day sweeps only its own
+# deltas in parallel, and sessions that straddle midnight enter as an
+# O(days) per-day carry count (computed from a bounded day-span explode),
+# so no window ever crosses a partition.  Determinism under ts ties:
+# deltas are collapsed to net-per-timestamp BEFORE the running sum, so
+# tie order cannot exist.  A session is open through its last event's
+# microsecond (half-open [s, t+1)): the end delta lands at t+1, so a
+# single-event session still peaks at 1 and a start delta can never be
+# cancelled by the same session's end in the collapse.  The day axis is
+# the UNION of sweep days and carry days — a day crossed by a multi-day
+# session but holding no delta of its own still reports peak = carry.
+# --------------------------------------------------------------------------
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "peak_concurrency_daily",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                    OR ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM marked
+    ),
+    sessions AS (
+      SELECT MIN(ts_us) AS s, MAX(ts_us) + 1 AS t
+      FROM sess GROUP BY user_id, session_idx
+    ),
+    sd AS (
+      SELECT s, t, s // {_DAY_US} AS sday, t // {_DAY_US} AS eday FROM sessions
+    ),
+    spans AS (
+      SELECT sd.sday, d FROM sd,
+             LATERAL (SELECT unnest(generate_series(sd.sday, sd.eday)) AS d) x
+    ),
+    carry AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_carry
+      FROM spans WHERE d > sday GROUP BY d
+    ),
+    starts AS (
+      SELECT sday AS d, CAST(COUNT(*) AS BIGINT) AS n_started FROM sd GROUP BY sday
+    ),
+    deltas AS (
+      SELECT sday AS d, s AS ts_us, 1 AS delta FROM sd
+      UNION ALL
+      SELECT eday AS d, t AS ts_us, -1 AS delta FROM sd
+    ),
+    collapsed AS (
+      SELECT d, ts_us, SUM(delta) AS net FROM deltas GROUP BY d, ts_us
+    ),
+    swept AS (
+      SELECT d, SUM(net) OVER (PARTITION BY d ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM collapsed
+    ),
+    per_day AS (SELECT d, MAX(run) AS max_run FROM swept GROUP BY d),
+    days AS (SELECT d FROM per_day UNION SELECT d FROM carry)
+    SELECT strftime(DATE '1970-01-01' + CAST(days.d AS INT), '%Y-%m-%d') AS day,
+           COALESCE(c.n_carry, 0) AS n_carry,
+           COALESCE(st.n_started, 0) AS n_started,
+           CAST(COALESCE(c.n_carry, 0)
+                + GREATEST(COALESCE(p.max_run, 0), 0) AS BIGINT)
+             AS peak_concurrency
+    FROM days
+    LEFT JOIN per_day p ON days.d = p.d
+    LEFT JOIN carry c ON days.d = c.d
+    LEFT JOIN starts st ON days.d = st.d
+    """,
+)
+def peak_concurrency_daily(spark, sf_dir):
+    """Per-day peak concurrent sessions via a day-partitioned sweep line:
+    +1/-1 deltas collapsed per timestamp, parallel per-day running sums,
+    midnight-straddling sessions as an O(days) carry — no global sort."""
+    from pyspark.sql import Window as W
+
+    e = spread(load_table(spark, sf_dir, "events")).select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us")
+    lagged = F.lag("ts_us").over(w)
+    marked = e.withColumn(
+        "is_start",
+        F.when(
+            lagged.isNull() | (F.col("ts_us") - lagged > _SESSION_GAP_US), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_idx", F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    sessions = sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts_us").alias("s"), (F.max("ts_us") + F.lit(1)).alias("t")
+    )
+    sd = cache_scoped(
+        sessions.select(
+            "s",
+            "t",
+            F.expr(f"s DIV {_DAY_US}").alias("sday"),
+            F.expr(f"t DIV {_DAY_US}").alias("eday"),
+        )
+    )
+    spans = sd.select("sday", F.explode(F.expr("sequence(sday, eday)")).alias("d"))
+    carry = (
+        spans.filter(F.col("d") > F.col("sday"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_carry"))
+    )
+    starts = sd.groupBy(F.col("sday").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_started")
+    )
+    deltas = sd.select(
+        F.col("sday").alias("d"), F.col("s").alias("ts_us"), F.lit(1).alias("delta")
+    ).unionAll(
+        sd.select(F.col("eday"), F.col("t"), F.lit(-1))
+    )
+    collapsed = deltas.groupBy("d", "ts_us").agg(F.sum("delta").alias("net"))
+    run = F.sum("net").over(
+        W.partitionBy("d").orderBy("ts_us").rowsBetween(W.unboundedPreceding, 0)
+    )
+    per_day = (
+        collapsed.withColumn("run", run)
+        .groupBy("d")
+        .agg(F.max("run").alias("max_run"))
+    )
+    # day axis = sweep days ∪ carry days (a day crossed by a long session
+    # may hold no delta of its own); tiny relation, the union is cheap.
+    days = per_day.select("d").union(carry.select("d")).distinct()
+    out = (
+        days.join(per_day, "d", "left")
+        .join(carry, "d", "left")
+        .join(starts, "d", "left")
+        .select(
+            F.date_format(
+                F.expr("date_add(DATE '1970-01-01', CAST(d AS INT))"), "yyyy-MM-dd"
+            ).alias("day"),
+            F.coalesce("n_carry", F.lit(0)).cast("long").alias("n_carry"),
+            F.coalesce("n_started", F.lit(0)).cast("long").alias("n_started"),
+            (
+                F.coalesce("n_carry", F.lit(0))
+                + F.greatest(F.coalesce("max_run", F.lit(0)), F.lit(0))
+            )
+            .cast("long")
+            .alias("peak_concurrency"),
+        )
+    )
+    return out

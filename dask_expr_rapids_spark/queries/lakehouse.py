@@ -154,3 +154,167 @@ def zorder_layout_stats(spark, sf_dir):
         F.min("vb").cast("long").alias("min_vb"),
         F.max("vb").cast("long").alias("max_vb"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality validation suite — the constraint checks (FK integrity,
+# key uniqueness, null/domain/range, cross-table temporal consistency) a
+# lakehouse runs before promoting a snapshot.  Output: one row per
+# check with checked/violation counts, so the report is O(checks)
+# regardless of table size.
+#
+# Scale posture: every check is a single aggregate or one keyed
+# anti/equi join — no check materializes violating ROWS (counts only),
+# the FK checks are shuffle hash joins on the key (co-partitioned with
+# bucketing in production), and the seven checks share scans via the
+# cached slim projections.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_validation_report",
+    """
+    WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders),
+    l AS (SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem),
+    checks AS (
+      SELECT 'fk_orders_custkey' AS check_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n_checked,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM o
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_bad
+      UNION ALL
+      SELECT 'fk_lineitem_orderkey',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM l),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM l
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o))
+      UNION ALL
+      SELECT 'unique_o_orderkey',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM o),
+             (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM o)
+      UNION ALL
+      SELECT 'positive_o_totalprice',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM o),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM o
+              WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+      UNION ALL
+      SELECT 'range_o_orderdate',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM o),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM o
+              WHERE o_orderdate IS NULL
+                 OR o_orderdate < DATE '1995-01-01'
+                 OR o_orderdate > DATE '2001-12-31')
+      UNION ALL
+      SELECT 'range_l_quantity',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM l),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM l
+              WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+      UNION ALL
+      SELECT 'ship_after_order',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM l JOIN o ON l_orderkey = o_orderkey),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM l JOIN o ON l_orderkey = o_orderkey
+              WHERE l_shipdate < o_orderdate)
+    )
+    SELECT check_name, n_checked, n_bad, n_bad = 0 AS ok FROM checks
+    """,
+)
+def dq_validation_report(spark, sf_dir):
+    """Seven-constraint validation report over orders/lineitem/customer:
+    FK integrity (anti-join counts), key uniqueness, null/domain/range
+    checks, and ship-after-order temporal consistency — one row per
+    check, counts only."""
+    o = cache_scoped(
+        spread(load_table(spark, sf_dir, "orders")).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        )
+    )
+    li = cache_scoped(
+        spread(load_table(spark, sf_dir, "lineitem")).select(
+            "l_orderkey", "l_quantity", "l_shipdate"
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def row(name, checked_df, bad_df):
+        n = checked_df.agg(F.count(F.lit(1)).cast("long").alias("n_checked"))
+        b = bad_df.agg(F.count(F.lit(1)).cast("long").alias("n_bad"))
+        return n.crossJoin(b).select(
+            F.lit(name).alias("check_name"), "n_checked", "n_bad"
+        )
+
+    def agg_row(name, df, n_col, bad_col):
+        return df.agg(
+            n_col.cast("long").alias("n_checked"),
+            bad_col.cast("long").alias("n_bad"),
+        ).select(F.lit(name).alias("check_name"), "n_checked", "n_bad")
+
+    fk_o = row(
+        "fk_orders_custkey",
+        o,
+        o.join(cust, o["o_custkey"] == cust["c_custkey"], "left_anti"),
+    )
+    fk_l = row(
+        "fk_lineitem_orderkey",
+        li,
+        li.join(
+            o.select("o_orderkey").hint("shuffle_hash"),
+            li["l_orderkey"] == o["o_orderkey"],
+            "left_anti",
+        ),
+    )
+    uniq = agg_row(
+        "unique_o_orderkey",
+        o,
+        F.count(F.lit(1)),
+        F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+    )
+    price = agg_row(
+        "positive_o_totalprice",
+        o,
+        F.count(F.lit(1)),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+            ).otherwise(0)
+        ),
+    )
+    dates = agg_row(
+        "range_o_orderdate",
+        o,
+        F.count(F.lit(1)),
+        F.sum(
+            F.when(
+                F.col("o_orderdate").isNull()
+                | (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("2001-12-31").cast("date")),
+                1,
+            ).otherwise(0)
+        ),
+    )
+    qty = agg_row(
+        "range_l_quantity",
+        li,
+        F.count(F.lit(1)),
+        F.sum(
+            F.when(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                1,
+            ).otherwise(0)
+        ),
+    )
+    lo = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == o["o_orderkey"],
+    )
+    temporal = agg_row(
+        "ship_after_order",
+        lo,
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)),
+    )
+    report = fk_o
+    for part in (fk_l, uniq, price, dates, qty, temporal):
+        report = report.unionAll(part)
+    return report.select(
+        "check_name", "n_checked", "n_bad", (F.col("n_bad") == 0).alias("ok")
+    )

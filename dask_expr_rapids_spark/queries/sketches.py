@@ -254,3 +254,338 @@ def cms_user_frequency(spark, sf_dir):
     bounded 4096-group aggregate regardless of stream size."""
     e = spread(load_table(spark, sf_dir, "events"))
     return cms_finish(e, cms_sketch(e))
+
+
+# --------------------------------------------------------------------------
+# Deterministic Bloom filter — the MEMBERSHIP sketch, completing the
+# family (HLL = cardinality, CMS = frequency): m = 65536 bits packed as
+# 2048 x 32-bit words (32 bits per BIGINT word keeps every shift
+# sign-safe in both engines), k = 5 md5-derived probes per key
+# (Bloom 1970).
+#
+# The 100 TB story is the semi-join reduction Spark itself applies as a
+# runtime filter: instead of shuffling the fact table against a
+# corpus-sized key set, the build side collapses to a FIXED 16 KiB
+# bit array (bit_or is idempotent and merge-associative — one map-side
+# combinable aggregate), which rides along as a one-row broadcast map;
+# the probe is then pure map-side — NO shuffle touches the fact table
+# until the final per-priority rollup.  The exact-membership join in
+# this query exists only to AUDIT the sketch (count false positives and
+# prove zero false negatives); production probes drop it.
+# --------------------------------------------------------------------------
+_BF_M = 1024  # bits — deliberately tight (~63% fill at the build size
+# below) so the ~10% false-positive rate the sketch trades for its 128-byte
+# footprint is VISIBLE in the audit columns; production sizes m ~ 1.44 n k
+# for a target rate, same plan.
+_BF_K = 5  # probes per key
+_BF_WORD = 32  # bits per packed word
+
+#: Spark-side array of the _BF_K bit positions for one key column `key`.
+_BF_POS_EXPR = (
+    f"transform(sequence(0, {_BF_K - 1}), i -> "
+    f"CAST(conv(substr(md5(concat('bf', CAST(i AS STRING), ':', "
+    f"CAST(key AS STRING))), 1, 15), 16, 10) AS BIGINT) % {_BF_M})"
+)
+
+
+def _bf_pos_sql(i_expr: str) -> str:
+    payload = f"'bf' || CAST({i_expr} AS VARCHAR) || ':' || CAST(key AS VARCHAR)"
+    return f"({_md5_uint_sql(payload, 15)} % {_BF_M})"
+
+
+@register(
+    "bloom_semijoin_orders",
+    f"""
+    WITH members AS (
+      SELECT DISTINCT c_custkey AS key FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey <= 1000
+    ),
+    cells AS (
+      SELECT {_bf_pos_sql('i')} AS pos
+      FROM members, LATERAL (SELECT unnest(generate_series(0, {_BF_K - 1})) AS i) t
+    ),
+    words AS (
+      SELECT pos // {_BF_WORD} AS word_idx,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BF_WORD} AS INT))
+                  AS BIGINT) AS w
+      FROM cells GROUP BY 1
+    ),
+    probes AS (
+      SELECT o_orderkey, o_orderpriority, o_custkey AS key, {_bf_pos_sql('i')} AS pos
+      FROM orders, LATERAL (SELECT unnest(generate_series(0, {_BF_K - 1})) AS i) t
+    ),
+    hits AS (
+      SELECT p.o_orderkey, p.o_orderpriority, p.key,
+             COALESCE((w.w & (CAST(1 AS BIGINT)
+                              << CAST(p.pos % {_BF_WORD} AS INT))) <> 0,
+                      FALSE) AS hit
+      FROM probes p LEFT JOIN words w ON p.pos // {_BF_WORD} = w.word_idx
+    ),
+    per_order AS (
+      SELECT o_orderkey, o_orderpriority, key, bool_and(hit) AS pass
+      FROM hits GROUP BY o_orderkey, o_orderpriority, key
+    ),
+    flagged AS (
+      SELECT o_orderpriority, pass,
+             key IN (SELECT key FROM members) AS is_member
+      FROM per_order
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+           CAST(SUM(CASE WHEN pass AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN is_member AND NOT pass THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_neg
+    FROM flagged GROUP BY o_orderpriority
+    """,
+)
+def bloom_semijoin_orders(spark, sf_dir):
+    """Bloom-filter semi-join audit: build a 128-byte filter over a
+    fixed dimension subset, probe every order map-side via a one-row
+    broadcast word map, then count per-priority passes / members /
+    false positives (false negatives provably 0; the FP rate is the
+    deliberate m-vs-n tradeoff, surfaced per priority)."""
+    c = load_table(spark, sf_dir, "customer")
+    # fixed-size build side (the dimension filter), scaling probe side —
+    # the classic runtime-filter shape
+    members = (
+        c.filter(
+            (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_custkey") <= 1000)
+        )
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    cells = members.select(F.explode(F.expr(_BF_POS_EXPR)).alias("pos"))
+    words = cells.groupBy(
+        F.expr(f"pos DIV {_BF_WORD}").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr(f"CAST(1 AS BIGINT) << CAST(pos % {_BF_WORD} AS INT)")
+        ).alias("w")
+    )
+    # the whole filter as ONE row: map word_idx -> word (<= 16 KiB)
+    packed = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "w"))).alias("bf")
+    )
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey", "o_orderpriority", F.col("o_custkey").alias("key")
+    )
+    # map-side probe: all k positions checked in one expression, no shuffle
+    pass_expr = F.expr(
+        f"aggregate({_BF_POS_EXPR}, true, (acc, p) -> acc AND "
+        f"(coalesce(element_at(bf, p DIV {_BF_WORD}), CAST(0 AS BIGINT)) "
+        f"& (CAST(1 AS BIGINT) << CAST(p % {_BF_WORD} AS INT))) != 0)"
+    )
+    probed = o.crossJoin(F.broadcast(packed)).select(
+        "o_orderpriority", "key", pass_expr.alias("pass")
+    )
+    flagged = probed.join(
+        members.withColumn("is_member", F.lit(True)), "key", "left"
+    ).select(
+        "o_orderpriority", "pass", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("long").alias("n_pass"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).cast("long").alias("n_member"),
+        F.sum(F.when(F.col("pass") & ~F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(F.when(F.col("is_member") & ~F.col("pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# HLL set algebra — the property that makes cardinality sketches useful
+# at 100 TB: registers MAX-MERGE, so |A ∪ B| needs no re-scan of either
+# input (union the 256-register vectors), and |A ∩ B| follows by
+# inclusion-exclusion on three estimates.  Same deterministic HLL as
+# hll_distinct_users (md5 hash, integer rho, exact integer harmonic
+# sum), applied per set: the whole computation past the per-set distinct
+# is O(sets x 256) rows.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hll_set_ops_users",
+    f"""
+    WITH keyed AS (
+      SELECT DISTINCT event_type AS grp,
+             CAST(user_id AS VARCHAR) || ':'
+               || strftime(CAST(ts AS TIMESTAMP), '%d') AS k
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    h AS (
+      SELECT grp, CAST({_md5_uint_sql("k", 15)} AS BIGINT) AS h
+      FROM keyed
+    ),
+    rows_ AS (
+      SELECT grp, h % {_HLL_M} AS bucket, h // {_HLL_M} AS w FROM h
+    ),
+    regs AS (
+      SELECT grp, bucket,
+             MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m_raw
+      FROM rows_ GROUP BY grp, bucket
+    ),
+    regs_all AS (
+      SELECT grp, bucket, m_raw FROM regs
+      UNION ALL
+      SELECT 'union' AS grp, bucket, MAX(m_raw) AS m_raw FROM regs GROUP BY bucket
+    ),
+    agg AS (
+      SELECT grp,
+             CAST(SUM(CAST(1 AS BIGINT) << (53 - m_raw))
+                  + ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 53)
+                  AS BIGINT) AS s,
+             CAST({_HLL_M} - COUNT(*) AS BIGINT) AS v
+      FROM regs_all GROUP BY grp
+    ),
+    est AS (
+      SELECT grp,
+             CASE WHEN raw <= 2.5 * {_HLL_M} AND v > 0
+                  THEN {_HLL_M}.0 * {_qln_sql(f"{_HLL_M}.0 / CAST(v AS DOUBLE)")}
+                  ELSE raw END AS e
+      FROM (SELECT grp, v,
+                   {_HLL_ALPHA_SQL} * {_HLL_M}.0 * {_HLL_M}.0
+                     * 9007199254740992.0 / CAST(s AS DOUBLE) AS raw
+            FROM agg)
+    ),
+    exact AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_exact FROM keyed GROUP BY grp
+      UNION ALL
+      SELECT 'union', CAST(COUNT(DISTINCT k) AS BIGINT) FROM keyed
+    ),
+    piv AS (
+      SELECT CAST(SUM(CASE WHEN x.grp = 'click' THEN x.n_exact END) AS BIGINT) AS xa,
+             CAST(SUM(CASE WHEN x.grp = 'purchase' THEN x.n_exact END) AS BIGINT) AS xb,
+             CAST(SUM(CASE WHEN x.grp = 'union' THEN x.n_exact END) AS BIGINT) AS xu,
+             SUM(CASE WHEN x.grp = 'click' THEN x.e END) AS ea,
+             SUM(CASE WHEN x.grp = 'purchase' THEN x.e END) AS eb,
+             SUM(CASE WHEN x.grp = 'union' THEN x.e END) AS eu
+      FROM (SELECT est.grp, exact.n_exact, est.e
+            FROM est JOIN exact ON est.grp = exact.grp) x
+    ),
+    out AS (
+      SELECT 'click' AS set_name, xa AS n_exact, ea AS e FROM piv
+      UNION ALL SELECT 'purchase', xb, eb FROM piv
+      UNION ALL SELECT 'union', xu, eu FROM piv
+      UNION ALL SELECT 'intersection', xa + xb - xu, ea + eb - eu FROM piv
+    )
+    SELECT set_name, n_exact, {pround_expr('e', 4)} AS n_est,
+           CASE WHEN n_exact > 0 THEN
+             {pround_expr('(e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)', 6)}
+           END AS rel_err
+    FROM out
+    """,
+)
+def hll_set_ops_users(spark, sf_dir):
+    """|A|, |B|, |A∪B| (register max-merge, no re-scan), |A∩B|
+    (inclusion-exclusion) for click vs purchase (user, day) activity
+    sets — exact count, deterministic-HLL estimate, relative error."""
+    from .registry import cache_scoped
+
+    e = spread(load_table(spark, sf_dir, "events"))
+    keyed = cache_scoped(
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("event_type").alias("grp"),
+            F.concat_ws(
+                ":", F.col("user_id").cast("string"), F.date_format("ts", "dd")
+            ).alias("k"),
+        )
+        .distinct()
+    )
+    h = keyed.select(
+        "grp",
+        F.conv(F.substring(F.md5("k"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    rows = h.select(
+        "grp",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.expr(f"h DIV {_HLL_M}").alias("w"),
+    )
+    regs = rows.groupBy("grp", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, 53).otherwise(53 - F.length(F.bin("w")))
+        ).alias("m_raw")
+    )
+    regs = cache_scoped(regs)
+    regs_all = regs.unionAll(
+        regs.groupBy("bucket")
+        .agg(F.max("m_raw").alias("m_raw"))
+        .select(F.lit("union").alias("grp"), "bucket", "m_raw")
+    )
+    agg = regs_all.groupBy("grp").agg(
+        (
+            F.sum(F.expr("CAST(1 AS BIGINT) << (53 - m_raw)"))
+            + (F.lit(_HLL_M) - F.count("*")) * F.lit(1 << 53)
+        )
+        .cast("long")
+        .alias("s"),
+        (F.lit(_HLL_M) - F.count("*")).cast("long").alias("v"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_M))
+        * F.lit(9007199254740992.0)
+        / F.col("s").cast("double")
+    )
+    qln = lambda c: F.floor(F.log(c) * _Q + F.lit(0.5)).cast("double") / _Q  # noqa: E731
+    est = agg.select(
+        "grp",
+        F.when(
+            (raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+            F.lit(float(_HLL_M))
+            * qln(F.lit(float(_HLL_M)) / F.col("v").cast("double")),
+        )
+        .otherwise(raw)
+        .alias("e"),
+    )
+    exact = keyed.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    ).unionAll(
+        keyed.agg(F.countDistinct("k").cast("long").alias("n_exact")).select(
+            F.lit("union").alias("grp"), "n_exact"
+        )
+    )
+    x = est.join(exact, "grp")
+    cs = lambda g, c: F.sum(F.when(F.col("grp") == g, F.col(c)))  # noqa: E731
+    piv = x.agg(
+        cs("click", "n_exact").cast("long").alias("xa"),
+        cs("purchase", "n_exact").cast("long").alias("xb"),
+        cs("union", "n_exact").cast("long").alias("xu"),
+        cs("click", "e").alias("ea"),
+        cs("purchase", "e").alias("eb"),
+        cs("union", "e").alias("eu"),
+    )
+    out = (
+        piv.select(F.lit("click").alias("set_name"), F.col("xa").alias("n_exact"), F.col("ea").alias("e"))
+        .unionAll(piv.select(F.lit("purchase"), "xb", "eb"))
+        .unionAll(piv.select(F.lit("union"), "xu", "eu"))
+        .unionAll(
+            piv.select(
+                F.lit("intersection"),
+                (F.col("xa") + F.col("xb") - F.col("xu")).alias("n_exact"),
+                (F.col("ea") + F.col("eb") - F.col("eu")).alias("e"),
+            )
+        )
+    )
+    return out.select(
+        "set_name",
+        "n_exact",
+        pround(F.col("e"), 4).alias("n_est"),
+        F.when(
+            F.col("n_exact") > 0,
+            pround(
+                (F.col("e") - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ),
+        ).alias("rel_err"),
+    )

@@ -138,6 +138,11 @@ HEADLINE = [
     "stream_cms_heavy_hitters",
     "tfidf_hashed_features",
     "snapshot_diff_orders",
+    "sessionize_users_batch",
+    "peak_concurrency_daily",
+    "bloom_semijoin_orders",
+    "hll_set_ops_users",
+    "dq_validation_report",
 ]
 
 
@@ -330,7 +335,12 @@ def main() -> None:
     errors: dict[str, str] = {}
     from dask_expr_rapids_spark.queries.registry import release_caches
 
-    for name in HEADLINE:
+    # SPARK_GRAFT_REHEARSAL_ONLY=a,b,c reruns just those queries and MERGES
+    # into the existing BENCH_sf{N}.json (late-round additions without a
+    # full re-run; the full suite stays the per-round refresh).
+    only = os.environ.get("SPARK_GRAFT_REHEARSAL_ONLY")
+    names = [n for n in HEADLINE if n in only.split(",")] if only else HEADLINE
+    for name in names:
         # same measurement hygiene as bench.py: drop the previous query's
         # scoped caches / checkpointed blocks and let the heap settle, so a
         # cache-heavy predecessor (the CC pipelines persist signatures and
@@ -365,6 +375,15 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     path = os.path.join(os.path.dirname(OUT), "..", f"BENCH_sf{SCALE}.json")
+    if only and os.path.exists(os.path.abspath(path)):
+        with open(os.path.abspath(path)) as f:
+            prev = json.loads(f.read())
+        prev.get("queries", {}).update(results)
+        prev.get("rows", {}).update(rows)
+        if errors:
+            prev.setdefault("errors", {}).update(errors)
+        prev["value"] = round(sum(prev["queries"].values()), 3)
+        out = prev
     with open(os.path.abspath(path), "w") as f:
         f.write(json.dumps(out) + "\n")
     print(json.dumps(out))
