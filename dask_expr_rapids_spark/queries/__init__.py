@@ -59,7 +59,9 @@ from . import window  # noqa: E402,F401
 # hll_distinct_users, stream_hll_distinct_users, dedup_image_phash,
 # cms_user_frequency, stream_cms_heavy_hitters, tfidf_hashed_features,
 # snapshot_diff_orders, sessionize_users_batch, peak_concurrency_daily,
-# bloom_semijoin_orders, hll_set_ops_users, dq_validation_report —
+# bloom_semijoin_orders, hll_set_ops_users, dq_validation_report,
+# time_weighted_avg_daily, markov_event_transitions, knn_label_classifier,
+# bfs_khop_word_graph, stream_bloom_purchaser_filter —
 # plus anything registered after this comment was written — then back-fill
 # with the oldest remaining r4-window queries: rollup_status_priority,
 # groupby_median_quantity, groupby_cov_corr, cumsum_user_value,

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.exact import pround, pround_expr
+from ..functions.exact import dec2dbl_expr, dec_to_double, pround, pround_expr
 from ..sources.tables import load_table, spread
 from .registry import cache_scoped, register
 
@@ -587,3 +587,173 @@ def peak_concurrency_daily(spark, sf_dir):
         )
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average — the telemetry/finance aggregate the plain mean
+# gets wrong: a value HOLDS until the next observation (LOCF), so each
+# reading is weighted by how long it was in force.  Contract: weights are
+# within-day (the last reading of a day holds until midnight; no carry
+# across days), duplicate timestamps collapse to their floor-mean BEFORE
+# the LOCF sequence is formed, so tie order cannot exist.
+#
+# Determinism: values quantized to 1e-6 integers; the v*w products are
+# summed as DECIMAL(38,0) (v_q <= 5e8, w_us <= 8.64e10 — the product
+# overflows int64, the ADVICE.md lexical_rarity lesson: cast operands to
+# decimal BEFORE multiplying); the exact decimal sum crosses to double
+# via the 3-part modulo split, then one IEEE divide — bit-identical in
+# both engines.  Scale: one (event_type, ts_us) aggregate + one
+# (event_type, day) window + one final aggregate; nothing holds more
+# than a day of one event type in a single window partition.
+# --------------------------------------------------------------------------
+_TWA_Q = 1_000_000
+
+
+@register(
+    "time_weighted_avg_daily",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(round(CAST(value AS DOUBLE) * {_TWA_Q}, 0) AS BIGINT) AS vq
+      FROM events
+    ),
+    collapsed AS (
+      SELECT event_type, ts_us,
+             SUM(vq) // COUNT(*) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ts_us // {_DAY_US} AS d
+      FROM e GROUP BY event_type, ts_us
+    ),
+    seg AS (
+      SELECT event_type, d, v, n,
+             COALESCE(LEAD(ts_us) OVER (PARTITION BY event_type, d
+                                        ORDER BY ts_us),
+                      (d + 1) * {_DAY_US}) - ts_us AS w
+      FROM collapsed
+    )
+    SELECT event_type,
+           strftime(DATE '1970-01-01' + CAST(d AS INT), '%Y-%m-%d') AS day,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           {{twa}} AS twa
+    FROM seg GROUP BY event_type, d
+    """.replace(
+        "{twa}",
+        pround_expr(
+            dec2dbl_expr(
+                "SUM(CAST(v AS DECIMAL(28,0)) * CAST(w AS DECIMAL(28,0)))", 0
+            )
+            + f" / CAST(SUM(w) AS DOUBLE) / {float(_TWA_Q)!r}",
+            6,
+        ),
+    ),
+)
+def time_weighted_avg_daily(spark, sf_dir):
+    """Per-(event_type, day) time-weighted average of `value`: LOCF
+    segments weighted by their holding time in microseconds, the last
+    segment of a day extended to midnight.  Integer-quantized values,
+    decimal-exact accumulation, portable double conversion."""
+    from pyspark.sql import Window as W
+
+    e = spread(load_table(spark, sf_dir, "events")).select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value").cast("double") * _TWA_Q, 0).cast("long").alias("vq"),
+    )
+    collapsed = (
+        e.groupBy("event_type", "ts_us")
+        .agg(F.sum("vq").alias("sv"), F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "event_type",
+            "ts_us",
+            F.expr("sv DIV n").alias("v"),
+            "n",
+            F.expr(f"ts_us DIV {_DAY_US}").alias("d"),
+        )
+    )
+    w_next = F.lead("ts_us").over(
+        W.partitionBy("event_type", "d").orderBy("ts_us")
+    )
+    seg = collapsed.select(
+        "event_type",
+        "d",
+        "v",
+        "n",
+        (F.coalesce(w_next, (F.col("d") + 1) * _DAY_US) - F.col("ts_us")).alias("w"),
+    )
+    s = F.sum(
+        F.col("v").cast("decimal(28,0)") * F.col("w").cast("decimal(28,0)")
+    )
+    return seg.groupBy("event_type", "d").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        pround(dec_to_double(s, 0) / F.sum("w").cast("double") / float(_TWA_Q), 6).alias("twa"),
+    ).select(
+        "event_type",
+        F.date_format(
+            F.expr("date_add(DATE '1970-01-01', CAST(d AS INT))"), "yyyy-MM-dd"
+        ).alias("day"),
+        "n_events",
+        "twa",
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences — the behavioral
+# model behind next-event prediction and anomaly scoring.  One user_id
+# window shuffle forms the (cur -> next) pairs; everything after is a
+# 25-row aggregate.  Determinism: the sequence order is the total order
+# (ts_us, event_type) — rows tying on both are interchangeable, so the
+# pair multiset is a function of the data; probabilities are integer
+# per-1e6 floor quotients (the PageRank discipline).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "markov_event_transitions",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    seq AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_type) AS nxt
+      FROM e
+    ),
+    c AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY cur)
+    SELECT c.cur AS cur_type, c.nxt AS next_type, c.c AS n_transitions,
+           CAST((c.c * 1000000) // tot.t AS BIGINT) AS p_micro
+    FROM c JOIN tot ON c.cur = tot.cur
+    """,
+)
+def markov_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts and per-1e6 integer
+    probabilities over per-user event-type sequences."""
+    from pyspark.sql import Window as W
+
+    e = spread(load_table(spark, sf_dir, "events")).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    nxt = F.lead("event_type").over(
+        W.partitionBy("user_id").orderBy("ts_us", "event_type")
+    )
+    seq = e.select(F.col("event_type").alias("cur"), nxt.alias("nxt"))
+    c = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = c.groupBy("cur").agg(F.sum("c").cast("long").alias("t"))
+    return c.join(tot, "cur").select(
+        F.col("cur").alias("cur_type"),
+        F.col("nxt").alias("next_type"),
+        F.col("c").alias("n_transitions"),
+        F.expr("CAST((c * 1000000) DIV t AS BIGINT)").alias("p_micro"),
+    )

@@ -141,3 +141,111 @@ def pagerank_word_centrality(spark, sf_dir):
         .orderBy(F.desc("rank"), "word")
         .limit(_PR_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# BFS k-hop frontier expansion over the (undirected) word co-occurrence
+# graph — the reachability primitive under the CC / PageRank / triangle
+# family.  The seed is the highest-degree word (ties broken
+# lexicographically); each hop is one node-keyed join + anti-join against
+# the visited set, so per-hop cost is frontier-degree-bounded and no
+# relation ever exceeds vocabulary size past the single corpus shuffle
+# that builds the edge list.  3 hops (small-world word graphs saturate
+# fast); output is the per-hop frontier histogram.
+# --------------------------------------------------------------------------
+_BFS_HOPS = 3
+
+
+@register(
+    "bfs_khop_word_graph",
+    f"""
+    WITH d AS (
+      SELECT string_split({_NORM_SQL}, ' ') AS l
+      FROM documents WHERE trim(text) <> ''
+    ),
+    bg AS (
+      SELECT DISTINCT l[pos] AS w1, l[pos + 1] AS w2
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS pos) t
+      WHERE l[pos] <> l[pos + 1]
+    ),
+    edges AS (SELECT w1 AS a, w2 AS b FROM bg UNION SELECT w2, w1 FROM bg),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+    l0 AS (SELECT a AS node FROM deg ORDER BY deg DESC, a LIMIT 1),
+    l1 AS (
+      SELECT DISTINCT e.b AS node FROM edges e JOIN l0 ON e.a = l0.node
+      WHERE e.b NOT IN (SELECT node FROM l0)
+    ),
+    l2 AS (
+      SELECT DISTINCT e.b AS node FROM edges e JOIN l1 ON e.a = l1.node
+      WHERE e.b NOT IN (SELECT node FROM l0)
+        AND e.b NOT IN (SELECT node FROM l1)
+    ),
+    l3 AS (
+      SELECT DISTINCT e.b AS node FROM edges e JOIN l2 ON e.a = l2.node
+      WHERE e.b NOT IN (SELECT node FROM l0)
+        AND e.b NOT IN (SELECT node FROM l1)
+        AND e.b NOT IN (SELECT node FROM l2)
+    )
+    SELECT * FROM (
+      SELECT 0 AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             MIN(node) AS min_word FROM l0
+      UNION ALL
+      SELECT 1, CAST(COUNT(*) AS BIGINT), MIN(node) FROM l1
+      UNION ALL
+      SELECT 2, CAST(COUNT(*) AS BIGINT), MIN(node) FROM l2
+      UNION ALL
+      SELECT 3, CAST(COUNT(*) AS BIGINT), MIN(node) FROM l3
+    ) t
+    """,
+)
+def bfs_khop_word_graph(spark, sf_dir):
+    """3-hop BFS frontier histogram from the highest-degree word over the
+    undirected distinct-bigram graph: per hop, frontier size and its
+    lexicographically smallest member."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    docs = d.filter(F.trim("text") != "").select(F.split(norm, " ").alias("ws"))
+    bg_arr = F.expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+        " (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    bg = (
+        docs.select(bg_arr.alias("bg"))
+        .select(F.explode("bg").alias("g"))
+        .select("g.w1", "g.w2")
+        .filter(F.col("w1") != F.col("w2"))
+        .distinct()
+    )
+    edges = cache_scoped(
+        bg.select(F.col("w1").alias("a"), F.col("w2").alias("b")).union(
+            bg.select(F.col("w2").alias("a"), F.col("w1").alias("b"))
+        ).distinct()
+    )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    seed = deg.orderBy(F.desc("deg"), F.asc("a")).limit(1).select(
+        F.col("a").alias("node")
+    )
+    frontiers = [cache_scoped(seed)]
+    for _ in range(_BFS_HOPS):
+        prev = frontiers[-1]
+        nxt = (
+            edges.join(prev.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        for seen in frontiers:
+            nxt = nxt.join(seen, "node", "left_anti")
+        frontiers.append(cache_scoped(nxt))
+    parts = [
+        f.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").alias("min_word"),
+        ).select(
+            F.lit(i).cast("int").alias("hop"), "n_nodes", "min_word"
+        )
+        for i, f in enumerate(frontiers)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

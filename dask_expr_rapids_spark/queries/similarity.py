@@ -286,3 +286,120 @@ def ann_ivf_partitioned_store(spark, sf_dir):
     return out.select(
         "qid", F.col("vec_id").alias("nid"), pround(F.col("cosine"), 6).alias("cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# k-NN classification — the simplest similarity-backed model: predict a
+# probe's label by majority vote among its K nearest labeled neighbors
+# (Cover & Hart '67).  Reuses the brute-force quantized-cosine machinery
+# (probes broadcast, corpus streamed, no corpus shuffle); the vote is a
+# (qid, label) aggregate over K*|probes| rows.  Tiebreaks are total:
+# neighbors rank by (cosine DESC, nid), labels win by (votes DESC,
+# best_rank ASC, label ASC) — deterministic in both engines.  At 100 TB
+# the brute-force candidate stage swaps for the IVF/LSH routers above;
+# the vote is unchanged.
+# --------------------------------------------------------------------------
+_KNN_K = 10
+
+
+@register(
+    "knn_label_classifier",
+    f"""
+    WITH {_NORMS_SQL},
+    dots AS (
+      SELECT q.vec_id AS qid, e.vec_id AS nid, e.label,
+             SUM({_QELEM.format(v='q')} * {_QELEM.format(v='e')}) AS dot
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}) q
+      JOIN embeddings e ON e.vec_id >= {_N_QUERIES}
+      CROSS JOIN (SELECT unnest(range({_DIM})) AS u) u
+      GROUP BY 1, 2, 3
+    ),
+    sims AS (
+      SELECT d.qid, d.nid, d.label,
+             CAST(d.dot AS DOUBLE) / (sqrt(CAST(nq.nrm2 AS DOUBLE))
+                                      * sqrt(CAST(ne.nrm2 AS DOUBLE))) AS cosine
+      FROM dots d
+      JOIN norms nq ON d.qid = nq.vec_id
+      JOIN norms ne ON d.nid = ne.vec_id
+    ),
+    topk AS (
+      SELECT qid, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, nid) AS rn
+      FROM sims
+    ),
+    votes AS (
+      SELECT qid, label, CAST(COUNT(*) AS BIGINT) AS n_votes,
+             CAST(MIN(rn) AS BIGINT) AS best_rank
+      FROM topk WHERE rn <= {_KNN_K} GROUP BY qid, label
+    )
+    SELECT qid, label AS pred_label, n_votes, best_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY n_votes DESC, best_rank, label) AS vr
+          FROM votes) t
+    WHERE vr = 1
+    """,
+)
+def knn_label_classifier(spark, sf_dir):
+    """k-NN (K=10) label prediction for the probe vectors by majority
+    vote over quantized-cosine nearest neighbors; brute-force candidate
+    stage (probes broadcast, corpus streamed), hash-aggregate vote."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    qvec = F.transform("embedding", lambda x: _qelem(x))
+    quant = e.select("vec_id", "label", qvec.alias("qv"))
+    norms = (
+        quant.select("vec_id", F.explode("qv").alias("x"))
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("x")).alias("nrm2"))
+    )
+    probes = quant.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qe")
+    )
+    train = quant.filter(F.col("vec_id") >= _N_QUERIES)
+    pairs = train.crossJoin(F.broadcast(probes))
+    dots = (
+        pairs.select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            "label",
+            F.explode(F.zip_with("qe", "qv", lambda x, y: x * y)).alias("p"),
+        )
+        .groupBy("qid", "nid", "label")
+        .agg(F.sum("p").alias("dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("qid"), F.col("nrm2").alias("nrm2_q"))
+    ne = norms.select(F.col("vec_id").alias("nid"), F.col("nrm2").alias("nrm2_n"))
+    sims = (
+        dots.join(F.broadcast(nq), "qid")
+        .join(ne, "nid")
+        .select(
+            "qid",
+            "nid",
+            "label",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nrm2_q").cast("double"))
+                    * F.sqrt(F.col("nrm2_n").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    wk = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    votes = (
+        sims.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _KNN_K)
+        .groupBy("qid", "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_votes"),
+            F.min("rn").cast("long").alias("best_rank"),
+        )
+    )
+    wv = W.partitionBy("qid").orderBy(
+        F.desc("n_votes"), F.asc("best_rank"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("qid", F.col("label").alias("pred_label"), "n_votes", "best_rank")
+    )

@@ -550,3 +550,156 @@ def stream_cms_heavy_hitters(spark, sf_dir):
     )
     e = spread(load_table(spark, sf_dir, "events"))
     return cms_finish(e, out)
+
+
+# --------------------------------------------------------------------------
+# Streaming Bloom filter: bit_or is idempotent AND order-insensitive, so
+# a streaming complete-mode aggregate over (word_idx -> bit_or(word)) —
+# a FIXED <=2048-row state for any stream length — builds the identical
+# filter the batch build produces; the oracle is that batch computation.
+# Build keys: the thin deterministic slice of purchasing users
+# (user_id % 97 = 0 — the membership set a runtime filter would ship);
+# the batch-side audit probes EVERY event map-side via the one-row
+# broadcast word map and reports per-type pass/member/FP/FN counts
+# (FN provably 0).
+# --------------------------------------------------------------------------
+_SBF_M = 65536  # bits (8 KiB)
+_SBF_K = 5
+_SBF_WORD = 32
+
+_SBF_POS_EXPR = (
+    f"transform(sequence(0, {_SBF_K - 1}), i -> "
+    f"CAST(conv(substr(md5(concat('sbf', CAST(i AS STRING), ':', key)), 1, 15), "
+    f"16, 10) AS BIGINT) % {_SBF_M})"
+)
+
+
+def _sbf_pos_sql(i_expr: str) -> str:
+    payload = f"'sbf' || CAST({i_expr} AS VARCHAR) || ':' || key"
+    return f"({_md5_uint_sql(payload, 15)} % {_SBF_M})"
+
+
+@register(
+    "stream_bloom_purchaser_filter",
+    f"""
+    WITH members AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events
+      WHERE event_type = 'purchase' AND user_id % 97 = 0
+    ),
+    cells AS (
+      SELECT {_sbf_pos_sql('i')} AS pos
+      FROM members, LATERAL (SELECT unnest(generate_series(0, {_SBF_K - 1})) AS i) t
+    ),
+    words AS (
+      SELECT pos // {_SBF_WORD} AS word_idx,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % {_SBF_WORD} AS INT))
+                  AS BIGINT) AS w
+      FROM cells GROUP BY 1
+    ),
+    probes AS (
+      SELECT event_type, CAST(user_id AS VARCHAR) AS key, {_sbf_pos_sql('i')} AS pos
+      FROM events, LATERAL (SELECT unnest(generate_series(0, {_SBF_K - 1})) AS i) t
+    ),
+    hits AS (
+      SELECT p.event_type, p.key, p.pos,
+             COALESCE((w.w & (CAST(1 AS BIGINT)
+                              << CAST(p.pos % {_SBF_WORD} AS INT))) <> 0,
+                      FALSE) AS hit
+      FROM probes p LEFT JOIN words w ON p.pos // {_SBF_WORD} = w.word_idx
+    ),
+    per_row AS (
+      -- probes carries k rows per EVENT (not per distinct key); fold the k
+      -- probe bits back to one row per event via a synthetic row id — the
+      -- (event_type, key) pair is NOT unique per event, so re-group on the
+      -- full per-event probe multiset instead: k consecutive rows share
+      -- (event_type, key, pos-set); bool_and over each event's k rows ==
+      -- bool_and over any k rows with the same (event_type, key), because
+      -- the pos set is a pure function of key.
+      SELECT event_type, key, bool_and(hit) AS pass, COUNT(*) // {_SBF_K} AS n_ev
+      FROM hits GROUP BY event_type, key
+    ),
+    flagged AS (
+      SELECT event_type, n_ev, pass,
+             key IN (SELECT key FROM members) AS is_member
+      FROM per_row
+    )
+    SELECT event_type,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN pass THEN n_ev ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN is_member THEN n_ev ELSE 0 END) AS BIGINT) AS n_member,
+           CAST(SUM(CASE WHEN pass AND NOT is_member THEN n_ev ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN is_member AND NOT pass THEN n_ev ELSE 0 END)
+                AS BIGINT) AS n_false_neg
+    FROM flagged GROUP BY event_type
+    """,
+)
+def stream_bloom_purchaser_filter(spark, sf_dir):
+    """Bloom filter over the thin purchasing-user slice built BY A
+    STREAMING JOB (bit_or-merged 2048-word state — constant memory for
+    any stream length), then a batch map-side probe of every event with
+    per-type pass/member/FP/FN audit counts; filter bit-identical to the
+    batch build because bit_or is order-insensitive."""
+    from ..sources.tables import load_table, spread
+
+    stream = _events_stream(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 97 == 0)
+    )
+    cells = stream.select(F.col("user_id").cast("string").alias("key")).select(
+        F.explode(F.expr(_SBF_POS_EXPR)).alias("pos")
+    )
+    words = cells.groupBy(
+        F.expr(f"pos DIV {_SBF_WORD}").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr(f"CAST(1 AS BIGINT) << CAST(pos % {_SBF_WORD} AS INT)")
+        ).alias("w")
+    )
+    out = run_available_now(
+        words, f"stream_sbf_{next(_sink_counter)}", output_mode="complete"
+    )
+    packed = out.agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "w"))).alias("bf")
+    )
+    e = spread(load_table(spark, sf_dir, "events")).select(
+        "event_type", F.col("user_id").cast("string").alias("key")
+    )
+    pass_expr = F.expr(
+        f"aggregate({_SBF_POS_EXPR}, true, (acc, p) -> acc AND "
+        f"(coalesce(element_at(bf, p DIV {_SBF_WORD}), CAST(0 AS BIGINT)) "
+        f"& (CAST(1 AS BIGINT) << CAST(p % {_SBF_WORD} AS INT))) != 0)"
+    )
+    probed = (
+        e.crossJoin(F.broadcast(packed))
+        .select("event_type", "key", pass_expr.alias("pass"))
+        .groupBy("event_type", "key", "pass")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
+    )
+    members = (
+        spread(load_table(spark, sf_dir, "events"))
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") % 97 == 0))
+        .select(F.col("user_id").cast("string").alias("key"))
+        .distinct()
+        .withColumn("is_member", F.lit(True))
+    )
+    flagged = probed.join(F.broadcast(members), "key", "left").select(
+        "event_type",
+        "n_ev",
+        "pass",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("pass"), F.col("n_ev")).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        F.sum(F.when(F.col("is_member"), F.col("n_ev")).otherwise(0))
+        .cast("long")
+        .alias("n_member"),
+        F.sum(F.when(F.col("pass") & ~F.col("is_member"), F.col("n_ev")).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(F.when(F.col("is_member") & ~F.col("pass"), F.col("n_ev")).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+    )

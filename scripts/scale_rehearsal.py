@@ -143,6 +143,11 @@ HEADLINE = [
     "bloom_semijoin_orders",
     "hll_set_ops_users",
     "dq_validation_report",
+    "time_weighted_avg_daily",
+    "markov_event_transitions",
+    "knn_label_classifier",
+    "bfs_khop_word_graph",
+    "stream_bloom_purchaser_filter",
 ]
 
 

@@ -172,3 +172,123 @@ def test_dq_report_shape_and_fk_green(spark):
     assert out["fk_orders_custkey"]["n_bad"] == 0
     assert out["fk_lineitem_orderkey"]["n_bad"] == 0
     assert out["unique_o_orderkey"]["n_bad"] == 0
+
+
+def test_twa_bounded_by_day_extremes(spark):
+    """The time-weighted average of a (type, day) lies within that
+    group's [min, max] value envelope (a convex combination of held
+    values), and n_events partitions the table."""
+    out = REGISTRY["time_weighted_avg_daily"].fn(spark, SF_DIR).collect()
+    release_caches()
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select(
+            "event_type",
+            F.to_date("ts").cast("string").alias("day"),
+            F.col("value").cast("double").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    )
+    env = {(r["event_type"], r["day"]): r for r in ev}
+    assert sum(r["n_events"] for r in out) == sum(r["n"] for r in ev)
+    for r in out:
+        e = env[(r["event_type"], r["day"])]
+        assert e["lo"] - 1e-6 <= r["twa"] <= e["hi"] + 1e-6, (r, e)
+
+
+def test_markov_transitions_count_and_rows(spark):
+    """Each user with n events contributes n-1 transitions, and per-cur
+    floor probabilities sum into (1e6 - branching, 1e6]."""
+    out = REGISTRY["markov_event_transitions"].fn(spark, SF_DIR).collect()
+    release_caches()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in out) == n_events - n_users
+    import collections
+
+    psum = collections.Counter()
+    branch = collections.Counter()
+    for r in out:
+        psum[r["cur_type"]] += r["p_micro"]
+        branch[r["cur_type"]] += 1
+    for cur, s in psum.items():
+        assert 1_000_000 - branch[cur] < s <= 1_000_000, (cur, s)
+
+
+def test_knn_matches_numpy_oracle(spark):
+    """The k-NN vote (quantized cosine, (votes DESC, best_rank, label)
+    tiebreak) reproduced independently in numpy."""
+    out = {
+        r["qid"]: (r["pred_label"], r["n_votes"], r["best_rank"])
+        for r in REGISTRY["knn_label_classifier"].fn(spark, SF_DIR).collect()
+    }
+    release_caches()
+    import numpy as np
+    import pandas as pd
+
+    df = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    q = np.array(
+        [np.round(np.asarray(v, dtype=np.float64) * 1e6) for v in df["embedding"]]
+    )
+    labels = df["label"].to_numpy()
+    vec_ids = df["vec_id"].to_numpy()
+    train = vec_ids >= 5
+    for qid in range(5):
+        qi = np.where(vec_ids == qid)[0][0]
+        dots = q[train] @ q[qi]
+        cos = dots / (np.linalg.norm(q[train], axis=1) * np.linalg.norm(q[qi]))
+        nids = vec_ids[train]
+        order = np.lexsort((nids, -cos))[:10]
+        votes = {}
+        for rank, idx in enumerate(order, start=1):
+            lab = int(labels[train][idx])
+            c, br = votes.get(lab, (0, rank))
+            votes[lab] = (c + 1, min(br, rank))
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1][0], kv[1][1], kv[0]))[0]
+        assert out[qid] == (pred[0], pred[1][0], pred[1][1]), (qid, out[qid], pred)
+
+
+def test_bfs_matches_python_oracle(spark):
+    """Frontier sizes per hop match a plain-Python BFS over the same
+    distinct-bigram graph."""
+    out = {r["hop"]: r["n_nodes"] for r in REGISTRY["bfs_khop_word_graph"].fn(spark, SF_DIR).collect()}
+    release_caches()
+    import collections
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    adj = collections.defaultdict(set)
+    for t in docs["text"]:
+        if not t or not t.strip():
+            continue
+        ws = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+        for a, b in zip(ws, ws[1:]):
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+    seed = sorted(adj, key=lambda w: (-len(adj[w]), w))[0]
+    visited = {seed}
+    frontier = {seed}
+    expect = {0: 1}
+    for hop in (1, 2, 3):
+        frontier = {b for a in frontier for b in adj[a]} - visited
+        visited |= frontier
+        expect[hop] = len(frontier)
+    assert out == expect, (out, expect)
+
+
+def test_stream_bloom_no_false_negatives(spark):
+    """The streamed filter admits every member (FN = 0) and the audit
+    columns are internally consistent."""
+    out = REGISTRY["stream_bloom_purchaser_filter"].fn(spark, SF_DIR).collect()
+    release_caches()
+    assert sum(r["n_false_neg"] for r in out) == 0
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r["n_events"] for r in out) == n_events
+    for r in out:
+        assert r["n_pass"] == r["n_member"] + r["n_false_pos"]
