@@ -61,7 +61,9 @@ from . import window  # noqa: E402,F401
 # snapshot_diff_orders, sessionize_users_batch, peak_concurrency_daily,
 # bloom_semijoin_orders, hll_set_ops_users, dq_validation_report,
 # time_weighted_avg_daily, markov_event_transitions, knn_label_classifier,
-# bfs_khop_word_graph, stream_bloom_purchaser_filter —
+# bfs_khop_word_graph, stream_bloom_purchaser_filter,
+# hopping_window_event_rates, session_conversion_daily,
+# partition_checksum_diff_orders, column_entropy_profile —
 # plus anything registered after this comment was written — then back-fill
 # with the oldest remaining r4-window queries: rollup_status_priority,
 # groupby_median_quantity, groupby_cov_corr, cumsum_user_value,

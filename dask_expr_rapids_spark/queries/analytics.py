@@ -27,7 +27,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.exact import dec2dbl_expr, dec_to_double, pround, pround_expr
+from ..functions.exact import (
+    davg,
+    davg_expr,
+    dec2dbl_expr,
+    dec_to_double,
+    pround,
+    pround_expr,
+)
 from ..sources.tables import load_table, spread
 from .registry import cache_scoped, register
 
@@ -745,7 +752,9 @@ def markov_event_transitions(spark, sf_dir):
         W.partitionBy("user_id").orderBy("ts_us", "event_type")
     )
     seq = e.select(F.col("event_type").alias("cur"), nxt.alias("nxt"))
-    c = (
+    # c is types²-sized but feeds BOTH sides of the probability join —
+    # without the scope cache the user_id window shuffle would run twice
+    c = cache_scoped(
         seq.filter(F.col("nxt").isNotNull())
         .groupBy("cur", "nxt")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -756,4 +765,171 @@ def markov_event_transitions(spark, sf_dir):
         F.col("nxt").alias("next_type"),
         F.col("c").alias("n_transitions"),
         F.expr("CAST((c * 1000000) DIV t AS BIGINT)").alias("p_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hopping (sliding) window rates — the batch twin of streaming hopping
+# windows: 1-hour windows advancing every 15 minutes, so each event lands
+# in exactly 4 windows.  The explode factor is the constant window/hop
+# ratio (4), never data-dependent, and the aggregate output is bounded by
+# (windows x types), not by event count — at 100 TB this is one linear
+# scan + one map-side-combinable aggregate.
+# --------------------------------------------------------------------------
+_HOP_US = 900 * 1_000_000  # 15 min
+_HOP_FACTOR = 4  # window length / hop = 1 h / 15 min
+
+
+@register(
+    "hopping_window_event_rates",
+    f"""
+    WITH e AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(value AS DOUBLE) AS value
+      FROM events
+    ),
+    hopped AS (
+      SELECT event_type, value,
+             (ts_us // {_HOP_US} - i) * {_HOP_US} AS ws
+      FROM e, LATERAL (SELECT unnest(generate_series(0, {_HOP_FACTOR - 1})) AS i) t
+    )
+    SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {pround_expr(davg_expr('value'), 6)} AS avg_value
+    FROM hopped GROUP BY ws, event_type
+    """,
+)
+def hopping_window_event_rates(spark, sf_dir):
+    """Per-(1-hour window hopping every 15 min, event_type) counts and
+    exact-decimal mean value; constant 4x explode, aggregate-bounded
+    output."""
+    e = spread(load_table(spark, sf_dir, "events")).select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    hopped = e.select(
+        "event_type",
+        "value",
+        F.explode(F.expr(f"sequence(0, {_HOP_FACTOR - 1})")).alias("i"),
+        F.col("ts_us"),
+    ).select(
+        "event_type",
+        "value",
+        ((F.expr(f"ts_us DIV {_HOP_US}") - F.col("i")) * _HOP_US).alias("ws"),
+    )
+    return hopped.groupBy("ws", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        pround(davg(F.col("value")), 6).alias("avg_value"),
+    ).select(
+        F.date_format(F.timestamp_micros(F.col("ws")), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        "avg_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Session conversion — the business endpoint the sessionizer feeds:
+# per day of session start, how many sessions, how many converted
+# (contain a purchase), the conversion rate, and the mean session
+# duration.  Same single user_id shuffle as sessionize_users_batch
+# (the is_purchase flag rides along for free); the daily rollup is
+# days-sized.  Rates are integer per-1e6 floor quotients; durations sum
+# exactly in decimal and cross to double via the modulo split.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "session_conversion_daily",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts_us, is_p,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                    OR ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    sess AS (
+      SELECT user_id, ts_us, is_p,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM marked
+    ),
+    sessions AS (
+      SELECT MIN(ts_us) // {_DAY_US} AS d,
+             MAX(ts_us) - MIN(ts_us) AS dur_us,
+             MAX(is_p) AS converted
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(d AS INT), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST((SUM(converted) * 1000000) // COUNT(*) AS BIGINT)
+             AS conv_rate_micro,
+           {pround_expr(
+               dec2dbl_expr("SUM(CAST(dur_us AS DECIMAL(38,0)))", 0)
+               + " / CAST(COUNT(*) AS DOUBLE) / 1000000.0",
+               3,
+           )} AS avg_dur_s
+    FROM sessions GROUP BY d
+    """,
+)
+def session_conversion_daily(spark, sf_dir):
+    """Per-day session counts, purchase-conversion rate (per-1e6 integer)
+    and mean session duration in seconds, on the same single user_id
+    shuffle as the batch sessionizer."""
+    from pyspark.sql import Window as W
+
+    e = spread(load_table(spark, sf_dir, "events")).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us")
+    lagged = F.lag("ts_us").over(w)
+    marked = e.withColumn(
+        "is_start",
+        F.when(
+            lagged.isNull() | (F.col("ts_us") - lagged > _SESSION_GAP_US), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_idx",
+        F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    sessions = sess.groupBy("user_id", "session_idx").agg(
+        F.expr(f"MIN(ts_us) DIV {_DAY_US}").alias("d"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+        F.max("is_p").alias("converted"),
+    )
+    return sessions.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr("CAST((SUM(converted) * 1000000) DIV COUNT(*) AS BIGINT)").alias(
+            "conv_rate_micro"
+        ),
+        pround(
+            dec_to_double(F.sum(F.col("dur_us").cast("decimal(38,0)")), 0)
+            / F.count(F.lit(1)).cast("double")
+            / 1_000_000.0,
+            3,
+        ).alias("avg_dur_s"),
+    ).select(
+        F.date_format(
+            F.expr("date_add(DATE '1970-01-01', CAST(d AS INT))"), "yyyy-MM-dd"
+        ).alias("day"),
+        "n_sessions",
+        "n_converted",
+        "conv_rate_micro",
+        "avg_dur_s",
     )

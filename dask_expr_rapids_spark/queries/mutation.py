@@ -373,3 +373,115 @@ def snapshot_diff_orders(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         pround(dsum("delta"), 2).alias("net_price_delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Partition checksum reconciliation — the scale-first companion to
+# snapshot_diff: before diffing two 100 TB table versions row-by-row,
+# compare ONE bounded relation of per-bucket (count, xor-of-row-
+# fingerprints) checksums and diff only the buckets that diverge.  XOR is
+# commutative/associative/self-inverse, so the bucket checksum is
+# shuffle-order-independent and map-side combinable, and two buckets with
+# equal (count, xor) match except with ~2^-60 collision probability.
+# The synthetic v2 localizes its edits (price bump in every 37th bucket,
+# partial delete in bucket 999) so divergence is sparse — the situation
+# the pattern exists for.  Output is diverged buckets only (bounded by
+# the fixed bucket count), classified as count vs content drift.
+# --------------------------------------------------------------------------
+from .text import _md5_uint_sql  # noqa: E402
+
+_CKS_BUCKETS = 1024
+
+
+def _cks_fp_spark():
+    """60-bit row fingerprint: md5 over key:status:price-cents."""
+    cents = F.floor(F.col("pr") * 100 + F.lit(0.5)).cast("long")
+    s = F.concat_ws(":", F.col("k").cast("string"), F.col("st"), cents.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+_CKS_FP_SQL = _md5_uint_sql(
+    "CAST(k AS VARCHAR) || ':' || st || ':' || "
+    "CAST(CAST(floor(pr * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+    15,
+)
+
+
+@register(
+    "partition_checksum_diff_orders",
+    f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(o_totalprice AS DOUBLE) AS pr,
+             o_orderkey % {_CKS_BUCKETS} AS bucket
+      FROM orders
+    ),
+    v2 AS (
+      SELECT k, st,
+             CASE WHEN bucket % 37 = 5 THEN pr * 1.1 ELSE pr END AS pr,
+             bucket
+      FROM v1
+      WHERE NOT (bucket = 999 AND k % 3 = 0)
+    ),
+    c1 AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(bit_xor({_CKS_FP_SQL}) AS BIGINT) AS x1
+      FROM v1 GROUP BY bucket
+    ),
+    c2 AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n2,
+             CAST(bit_xor({_CKS_FP_SQL}) AS BIGINT) AS x2
+      FROM v2 GROUP BY bucket
+    )
+    SELECT COALESCE(c1.bucket, c2.bucket) AS bucket,
+           COALESCE(n1, 0) AS n_v1, COALESCE(n2, 0) AS n_v2,
+           CASE WHEN COALESCE(n1, 0) <> COALESCE(n2, 0) THEN 'count_drift'
+                ELSE 'content_drift' END AS reason
+    FROM c1 FULL OUTER JOIN c2 ON c1.bucket = c2.bucket
+    WHERE COALESCE(n1, 0) <> COALESCE(n2, 0)
+       OR COALESCE(x1, 0) <> COALESCE(x2, 0)
+    """,
+)
+def partition_checksum_diff_orders(spark, sf_dir):
+    """Bucket-level checksum reconciliation of two table versions:
+    per-bucket (count, xor-of-60-bit-row-fingerprints), full-outer
+    compared, diverged buckets only — the bounded pre-filter that makes
+    a 100 TB snapshot diff touch only changed key ranges."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    v1 = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").cast("double").alias("pr"),
+        (F.col("o_orderkey") % _CKS_BUCKETS).alias("bucket"),
+    )
+    v2 = v1.filter(~((F.col("bucket") == 999) & (F.col("k") % 3 == 0))).select(
+        "k",
+        "st",
+        F.when(F.col("bucket") % 37 == 5, F.col("pr") * 1.1)
+        .otherwise(F.col("pr"))
+        .alias("pr"),
+        "bucket",
+    )
+
+    def checksums(v, n, x):
+        return v.withColumn("fp", _cks_fp_spark()).groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias(n),
+            F.bit_xor("fp").cast("long").alias(x),
+        )
+
+    c1 = checksums(v1, "n1", "x1")
+    c2 = checksums(v2, "n2", "x2")
+    j = c1.join(c2, "bucket", "full")
+    return j.filter(
+        (F.coalesce("n1", F.lit(0)) != F.coalesce("n2", F.lit(0)))
+        | (F.coalesce("x1", F.lit(0)) != F.coalesce("x2", F.lit(0)))
+    ).select(
+        "bucket",
+        F.coalesce("n1", F.lit(0)).alias("n_v1"),
+        F.coalesce("n2", F.lit(0)).alias("n_v2"),
+        F.when(
+            F.coalesce("n1", F.lit(0)) != F.coalesce("n2", F.lit(0)), "count_drift"
+        )
+        .otherwise("content_drift")
+        .alias("reason"),
+    )

@@ -487,3 +487,87 @@ def leakage_safe_split_stats(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Shannon entropy per categorical column — the profiling signal behind
+# "is this column a key, a category, or junk" and the information-gain
+# denominator.  One map-side-combinable count per column, every later
+# relation is cardinality-sized.  Determinism: p = c/n is an exact double
+# ratio (both < 2^53), the p*log2(p) term is quantized to 1e-9 BEFORE the
+# exact decimal sum (the source-KL discipline — libm ln agreement is
+# beyond the quantization grid).
+# --------------------------------------------------------------------------
+_ENT_Q = 1_000_000_000
+_INV_LN2 = 1.4426950408889634  # 1/ln(2), exact double literal both engines
+
+
+def _entropy_sql(table: str, col: str) -> str:
+    term = (
+        f"(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * {_INV_LN2!r}"
+    )
+    from ..functions.exact import dec2dbl_expr, pround_expr
+
+    qterm = f"(CAST(floor(({term}) * {_ENT_Q}.0 + 0.5) AS DOUBLE) / {_ENT_Q}.0)"
+    ent = pround_expr("-(" + dec2dbl_expr(f"SUM(CAST({qterm} AS DECIMAL(30,8)))") + ")", 6)
+    return f"""
+      SELECT '{table}.{col}' AS column_name,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             {ent} AS entropy_bits
+      FROM (SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM {table} GROUP BY {col}) t
+      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}) nn
+    """
+
+
+_ENT_COLUMNS = [
+    ("events", "event_type"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+]
+
+
+@register(
+    "column_entropy_profile",
+    " UNION ALL ".join(_entropy_sql(t, c) for t, c in _ENT_COLUMNS),
+)
+def column_entropy_profile(spark, sf_dir):
+    """Shannon entropy (bits) + cardinality for four categorical columns
+    across three tables; one count-aggregate per column, quantized
+    p*log2(p) terms, exact decimal accumulation."""
+    from ..functions.exact import dec_to_double
+
+    parts = []
+    for table, col in _ENT_COLUMNS:
+        t = spread(load_table(spark, sf_dir, table))
+        counts = t.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        n = t.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        p = F.col("c").cast("double") / F.col("n").cast("double")
+        term = p * F.log(p) * _INV_LN2
+        qterm = F.floor(term * _ENT_Q + F.lit(0.5)).cast("double") / _ENT_Q
+        parts.append(
+            counts.crossJoin(F.broadcast(n))
+            .select(F.col("c"), qterm.alias("qt"))
+            .agg(
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                pround(-dec_to_double(F.sum(F.col("qt").cast("decimal(30,8)"))), 6).alias(
+                    "entropy_bits"
+                ),
+            )
+            .select(
+                F.lit(f"{table}.{col}").alias("column_name"),
+                "n_rows",
+                "n_distinct",
+                "entropy_bits",
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionAll(part)
+    return out

@@ -148,6 +148,10 @@ HEADLINE = [
     "knn_label_classifier",
     "bfs_khop_word_graph",
     "stream_bloom_purchaser_filter",
+    "hopping_window_event_rates",
+    "session_conversion_daily",
+    "partition_checksum_diff_orders",
+    "column_entropy_profile",
 ]
 
 

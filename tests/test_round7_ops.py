@@ -292,3 +292,62 @@ def test_stream_bloom_no_false_negatives(spark):
     assert sum(r["n_events"] for r in out) == n_events
     for r in out:
         assert r["n_pass"] == r["n_member"] + r["n_false_pos"]
+
+
+def test_hopping_windows_cover_each_event_four_times(spark):
+    """1-h windows hopping every 15 min: every event lands in exactly 4
+    windows, and each window mean sits inside the global value range."""
+    out = REGISTRY["hopping_window_event_rates"].fn(spark, SF_DIR).collect()
+    release_caches()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n = ev.count()
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    assert sum(r["n_events"] for r in out) == 4 * n
+    assert all(lo - 1e-6 <= r["avg_value"] <= hi + 1e-6 for r in out)
+
+
+def test_session_conversion_consistent_with_sessionizer(spark):
+    """Daily session counts sum to the sessionizer's session count;
+    conversion counts and rates are internally consistent."""
+    out = REGISTRY["session_conversion_daily"].fn(spark, SF_DIR).collect()
+    n_sessions = REGISTRY["sessionize_users_batch"].fn(spark, SF_DIR).count()
+    release_caches()
+    assert sum(r["n_sessions"] for r in out) == n_sessions
+    for r in out:
+        assert 0 <= r["n_converted"] <= r["n_sessions"]
+        assert r["conv_rate_micro"] == (r["n_converted"] * 1_000_000) // r["n_sessions"]
+        assert r["avg_dur_s"] >= 0.0
+
+
+def test_checksum_diff_flags_exactly_the_edited_buckets(spark):
+    """Diverged buckets are exactly the synthesized edits: every 37th
+    bucket (prices bumped, counts equal -> content_drift) plus bucket 999
+    (rows deleted -> count_drift)."""
+    out = {r["bucket"]: r for r in REGISTRY["partition_checksum_diff_orders"].fn(spark, SF_DIR).collect()}
+    release_caches()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        (F.col("o_orderkey") % 1024).alias("b")
+    )
+    present = {r["b"] for r in o.distinct().collect()}
+    expect = {b for b in present if b % 37 == 5} | ({999} if 999 in present else set())
+    assert set(out) == expect, (sorted(out), sorted(expect))
+    for b, r in out.items():
+        if b == 999:
+            assert r["reason"] == "count_drift" and r["n_v2"] < r["n_v1"]
+        else:
+            assert r["reason"] == "content_drift" and r["n_v1"] == r["n_v2"]
+
+
+def test_entropy_profile_bounds(spark):
+    """0 <= H <= log2(cardinality) for every profiled column, and row
+    counts match the source tables."""
+    import math
+
+    out = {r["column_name"]: r for r in REGISTRY["column_entropy_profile"].fn(spark, SF_DIR).collect()}
+    release_caches()
+    assert len(out) == 4
+    for name, r in out.items():
+        table = name.split(".")[0]
+        n = spark.read.parquet(f"{SF_DIR}/{table}.parquet").count()
+        assert r["n_rows"] == n
+        assert -1e-9 <= r["entropy_bits"] <= math.log2(max(r["n_distinct"], 2)) + 1e-9
