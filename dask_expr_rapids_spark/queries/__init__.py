@@ -63,7 +63,9 @@ from . import window  # noqa: E402,F401
 # time_weighted_avg_daily, markov_event_transitions, knn_label_classifier,
 # bfs_khop_word_graph, stream_bloom_purchaser_filter,
 # hopping_window_event_rates, session_conversion_daily,
-# partition_checksum_diff_orders, column_entropy_profile —
+# partition_checksum_diff_orders, column_entropy_profile,
+# stream_session_conversion_daily, keyword_extraction_by_source,
+# key_skew_report, robust_anomaly_flags_daily —
 # plus anything registered after this comment was written — then back-fill
 # with the oldest remaining r4-window queries: rollup_status_priority,
 # groupby_median_quantity, groupby_cov_corr, cumsum_user_value,

@@ -933,3 +933,104 @@ def session_conversion_daily(spark, sf_dir):
         "conv_rate_micro",
         "avg_dur_s",
     )
+
+
+# --------------------------------------------------------------------------
+# Daily anomaly flagging — the operational use of the robust
+# (median/MAD) screen above: score every event against its TYPE's
+# modified z-score and report anomaly counts per (type, day).  Same
+# determinism contract as robust_outliers_by_type (lower medians by
+# integer rank, multiply-through test 0.6745*|x-med| > 3.5*MAD — pure
+# IEEE, no division); the med/MAD relation is types-sized and broadcast,
+# so the flagging pass is map-side over one scan.
+# --------------------------------------------------------------------------
+_ANOM_RANKED_SQL = """
+    ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, MIN(value) AS med FROM ranked
+      WHERE rn = (n + 1) // 2 GROUP BY event_type
+    ),
+    adev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    adev_ranked AS (
+      SELECT event_type, ad,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM adev
+    ),
+    mad AS (
+      SELECT event_type, MIN(ad) AS mad FROM adev_ranked
+      WHERE rn = (n + 1) // 2 GROUP BY event_type
+    )
+"""
+
+
+@register(
+    "robust_anomaly_flags_daily",
+    f"""
+    WITH {_ANOM_RANKED_SQL}
+    SELECT e.event_type,
+           strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN 0.6745 * abs(e.value - m.med) > 3.5 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type, day
+    """,
+)
+def robust_anomaly_flags_daily(spark, sf_dir):
+    """Per-(event_type, day) counts of modified-z-score anomalies
+    (0.6745·|x−med| > 3.5·MAD with the type's lower median/MAD)."""
+    from pyspark.sql import Window as W
+
+    e = spread(load_table(spark, sf_dir, "events")).select(
+        "event_type", "value", F.to_date("ts").alias("dday")
+    )
+    e = cache_scoped(e)
+
+    def lower_median(df, col, out):
+        w = W.partitionBy("event_type").orderBy(col)
+        wn = W.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        return (
+            ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+            .groupBy("event_type")
+            .agg(F.min(col).alias(out))
+        )
+
+    med = lower_median(e, "value", "med")
+    withmed = e.join(F.broadcast(med), "event_type")
+    mad = lower_median(
+        withmed.select(
+            "event_type", F.abs(F.col("value") - F.col("med")).alias("ad")
+        ),
+        "ad",
+        "mad",
+    )
+    flagged = withmed.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy(
+        "event_type", F.date_format("dday", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(
+                0.6745 * F.abs(F.col("value") - F.col("med")) > 3.5 * F.col("mad"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_anomalies"),
+    )

@@ -318,3 +318,82 @@ def dq_validation_report(spark, sf_dir):
     return report.select(
         "check_name", "n_checked", "n_bad", (F.col("n_bad") == 0).alias("ok")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew report — the diagnostic behind every "one straggler task"
+# incident: per candidate join/shuffle key, the key-count distribution's
+# hot end.  Per key it is ONE map-side-combinable count aggregate plus
+# O(1) rollups; the skew ratio (hottest key vs mean) is the number that
+# predicts whether AQE skew-join splitting or salting is needed BEFORE
+# the join is written.  Ratio is one IEEE divide of exact-integer-valued
+# doubles; the hottest key ties break on the smallest key.
+# --------------------------------------------------------------------------
+_SKEW_KEYS = [
+    ("orders", "o_custkey"),
+    ("lineitem", "l_suppkey"),
+    ("events", "user_id"),
+]
+
+
+def _skew_sql(table: str, col: str) -> str:
+    return f"""
+      SELECT '{table}.{col}' AS key_name,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_count,
+             CAST(MIN(CASE WHEN c = mc THEN k END) AS VARCHAR) AS top_key,
+             {pround_expr(
+                 'CAST(MAX(c) AS DOUBLE)'
+                 ' / (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))', 6)}
+               AS skew_ratio
+      FROM (SELECT k, c, MAX(c) OVER () AS mc
+            FROM (SELECT {col} AS k, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM {table} GROUP BY {col}) t0) t1
+    """
+
+
+@register(
+    "key_skew_report",
+    " UNION ALL ".join(_skew_sql(t, c) for t, c in _SKEW_KEYS),
+)
+def key_skew_report(spark, sf_dir):
+    """Key-distribution skew diagnostics for three shuffle keys: key
+    cardinality, row count, hottest key + its count, and the hot/mean
+    skew ratio."""
+    parts = []
+    for table, col in _SKEW_KEYS:
+        t = spread(load_table(spark, sf_dir, table))
+        counts = cache_scoped(
+            t.groupBy(F.col(col).alias("k")).agg(
+                F.count(F.lit(1)).cast("long").alias("c")
+            )
+        )
+        stats = counts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_count"),
+            # deterministic hottest key: max count, then smallest key —
+            # a single max_by over a (count, -k) struct, no sort
+            F.min_by("k", F.struct((-F.col("c")).alias("nc"), F.col("k").alias("k")))
+            .cast("string")
+            .alias("top_key"),
+        )
+        parts.append(
+            stats.select(
+                F.lit(f"{table}.{col}").alias("key_name"),
+                "n_keys",
+                "n_rows",
+                "max_count",
+                "top_key",
+                pround(
+                    F.col("max_count").cast("double")
+                    / (F.col("n_rows").cast("double") / F.col("n_keys").cast("double")),
+                    6,
+                ).alias("skew_ratio"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -571,3 +571,98 @@ def column_entropy_profile(spark, sf_dir):
     for part in parts[1:]:
         out = out.unionAll(part)
     return out
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction per source — the human-readable complement to
+# the hashed TF-IDF vectorizer: the actual top words that characterize
+# each source.  One corpus shuffle to (source, word) tf counts, one to
+# per-word document frequency; everything after is vocabulary-sized.
+# Determinism: idf is quantized to an integer (1e-6 ln units) BEFORE the
+# score multiply; the score is one IEEE multiply + divide of exact
+# doubles — identical in both engines — and the per-source top-5 ranks on
+# (score DESC, word).  Boilerplate is excluded by the Apriori-style
+# document-frequency gate (df/D >= 0.3 -> not a keyword), an integer
+# compare.
+# --------------------------------------------------------------------------
+_KW_TOPK = 5
+_KW_Q = 1_000_000
+
+
+@register(
+    "keyword_extraction_by_source",
+    f"""
+    WITH words AS (
+      SELECT source, doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM words GROUP BY source, w),
+    df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM words GROUP BY w),
+    dd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d FROM words),
+    idf AS (
+      SELECT w, df,
+             CAST(floor(ln((CAST(d AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+                        * {_KW_Q}.0 + 0.5) AS BIGINT) AS idf_micro
+      FROM df CROSS JOIN dd
+      WHERE df * 10 < d * 3
+    ),
+    scored AS (
+      SELECT tf.source, tf.w AS word, tf.tf, idf.idf_micro,
+             (CAST(tf.tf AS DOUBLE) * CAST(idf.idf_micro AS DOUBLE))
+               / {_KW_Q}.0 AS score
+      FROM tf JOIN idf ON tf.w = idf.w
+    )
+    SELECT source, word, tf, idf_micro,
+           {pround_expr('score', 4)} AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY score DESC, word) AS rn
+          FROM scored) t
+    WHERE rn <= {_KW_TOPK}
+    """,
+)
+def keyword_extraction_by_source(spark, sf_dir):
+    """Top-5 TF-IDF keywords per source (quantized-integer idf, pure-IEEE
+    score, df-gated boilerplate exclusion)."""
+    from .registry import cache_scoped
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    words = d.filter(F.trim("text") != "").select(
+        "source", "doc_id", F.explode(F.split(norm, " ")).alias("w")
+    )
+    words = cache_scoped(words)
+    tf = words.groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df = words.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    dd = words.agg(F.countDistinct("doc_id").cast("long").alias("d"))
+    idf = (
+        df.crossJoin(F.broadcast(dd))
+        .filter(F.col("df") * 10 < F.col("d") * 3)
+        .select(
+            "w",
+            "df",
+            F.floor(
+                F.log((F.col("d").cast("double") + 1.0) / (F.col("df").cast("double") + 1.0))
+                * _KW_Q
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    # per-word idf scales with vocabulary — pin it off broadcast
+    scored = tf.join(idf.hint("shuffle_hash"), tf["w"] == idf["w"]).select(
+        "source",
+        tf["w"].alias("word"),
+        "tf",
+        "idf_micro",
+        (
+            (F.col("tf").cast("double") * F.col("idf_micro").cast("double")) / _KW_Q
+        ).alias("score"),
+    )
+    wk = W.partitionBy("source").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _KW_TOPK)
+        .select("source", "word", "tf", "idf_micro", pround(F.col("score"), 4).alias("score"))
+    )

@@ -703,3 +703,94 @@ def stream_bloom_purchaser_filter(spark, sf_dir):
         .cast("long")
         .alias("n_false_neg"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming session conversion — the streaming twin of
+# session_conversion_daily (queries/analytics.py): native session windows
+# (gap-merged, watermark-evicted state) carry the purchase flag and the
+# last event time; the daily conversion rollup runs batch-side over the
+# drained per-session relation.  The oracle is the BATCH gaps-and-islands
+# SQL verbatim — session_window's merge semantics are the same 30-minute
+# inactivity gap, session start = first event, and duration uses
+# max(ts) - window.start (NOT window.end, which pads the gap), so the
+# streamed result hash-matches the batch endpoint.
+# --------------------------------------------------------------------------
+_SC_GAP_US = 30 * 60 * 1_000_000
+_SC_DAY_US = 86_400_000_000
+
+
+@register(
+    "stream_session_conversion_daily",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts_us, is_p,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                    OR ts_us - LAG(ts_us) OVER w > {_SC_GAP_US}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    sess AS (
+      SELECT user_id, ts_us, is_p,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM marked
+    ),
+    sessions AS (
+      SELECT MIN(ts_us) // {_SC_DAY_US} AS d,
+             MAX(is_p) AS converted
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(d AS INT), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST((SUM(converted) * 1000000) // COUNT(*) AS BIGINT)
+             AS conv_rate_micro
+    FROM sessions GROUP BY d
+    """,
+)
+def stream_session_conversion_daily(spark, sf_dir):
+    """Daily session-conversion rates where the sessions are built BY A
+    STREAMING JOB (session_window state, watermark-evicted); the batch
+    rollup runs over the drained per-session relation and hash-matches
+    the batch sessionizer's endpoint."""
+    stream = _events_stream(spark, sf_dir)
+    src = stream.select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    ).withWatermark("ts", "2 hours")
+    size_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    state_partitions = max(8, min(512, size_bytes // (4 << 20)))
+    src = src.repartition(state_partitions, "user_id")
+    sess = (
+        src.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.max("is_p").alias("converted"))
+        .select(F.col("sw.start").alias("start_ts"), "converted")
+    )
+    out = run_available_now(
+        sess, f"stream_sconv_{next(_sink_counter)}", output_mode="complete"
+    )
+    sessions = out.select(
+        F.expr(f"unix_micros(start_ts) DIV {_SC_DAY_US}").alias("d"), "converted"
+    )
+    return sessions.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr("CAST((SUM(converted) * 1000000) DIV COUNT(*) AS BIGINT)").alias(
+            "conv_rate_micro"
+        ),
+    ).select(
+        F.date_format(
+            F.expr("date_add(DATE '1970-01-01', CAST(d AS INT))"), "yyyy-MM-dd"
+        ).alias("day"),
+        "n_sessions",
+        "n_converted",
+        "conv_rate_micro",
+    )

@@ -152,6 +152,10 @@ HEADLINE = [
     "session_conversion_daily",
     "partition_checksum_diff_orders",
     "column_entropy_profile",
+    "stream_session_conversion_daily",
+    "keyword_extraction_by_source",
+    "key_skew_report",
+    "robust_anomaly_flags_daily",
 ]
 
 

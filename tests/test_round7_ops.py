@@ -351,3 +351,86 @@ def test_entropy_profile_bounds(spark):
         n = spark.read.parquet(f"{SF_DIR}/{table}.parquet").count()
         assert r["n_rows"] == n
         assert -1e-9 <= r["entropy_bits"] <= math.log2(max(r["n_distinct"], 2)) + 1e-9
+
+
+def test_stream_session_conversion_matches_batch(spark):
+    """The streamed session-conversion rollup equals the batch endpoint
+    on the shared columns (session_window == gaps-and-islands)."""
+    got = {
+        r["day"]: (r["n_sessions"], r["n_converted"], r["conv_rate_micro"])
+        for r in REGISTRY["stream_session_conversion_daily"].fn(spark, SF_DIR).collect()
+    }
+    expect = {
+        r["day"]: (r["n_sessions"], r["n_converted"], r["conv_rate_micro"])
+        for r in REGISTRY["session_conversion_daily"].fn(spark, SF_DIR).collect()
+    }
+    release_caches()
+    assert got == expect
+
+
+def test_keywords_respect_df_gate_and_ordering(spark):
+    """5 keywords per source, scores non-increasing with the (score,
+    word) tiebreak, and no keyword's document frequency reaches the 30%
+    boilerplate gate."""
+    out = REGISTRY["keyword_extraction_by_source"].fn(spark, SF_DIR).collect()
+    release_caches()
+    import collections
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    df = collections.Counter()
+    n_docs = 0
+    for t in docs["text"]:
+        if not t or not t.strip():
+            continue
+        n_docs += 1
+        for w in set(re.sub(r"\s+", " ", t.strip().lower()).split(" ")):
+            df[w] += 1
+    per_source = collections.defaultdict(list)
+    for r in out:
+        per_source[r["source"]].append((r["score"], r["word"]))
+        assert df[r["word"]] * 10 < n_docs * 3, (r["word"], df[r["word"]], n_docs)
+        assert r["idf_micro"] > 0 and r["tf"] > 0
+    for source, rows in per_source.items():
+        # up to 5: a source may have fewer gate-passing words at small SF
+        assert 1 <= len(rows) <= 5
+        ranked = sorted(rows, key=lambda t: (-t[0], t[1]))
+        assert rows == ranked, (source, rows)
+
+
+def test_key_skew_report_consistent(spark):
+    """Row counts match the tables, the hottest key's count is the max,
+    and skew_ratio >= 1 (max >= mean) for every key."""
+    out = {r["key_name"]: r for r in REGISTRY["key_skew_report"].fn(spark, SF_DIR).collect()}
+    release_caches()
+    assert set(out) == {"orders.o_custkey", "lineitem.l_suppkey", "events.user_id"}
+    for name, r in out.items():
+        table, col = name.split(".")
+        t = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+        assert r["n_rows"] == t.count()
+        top_n = t.filter(F.col(col).cast("string") == r["top_key"]).count()
+        assert top_n == r["max_count"]
+        assert r["skew_ratio"] >= 1.0
+
+
+def test_anomaly_flags_roll_up_to_outlier_totals(spark):
+    """Per-day anomaly counts sum to robust_outliers_by_type's per-type
+    totals (same median/MAD, same test)."""
+    daily = REGISTRY["robust_anomaly_flags_daily"].fn(spark, SF_DIR).collect()
+    totals = {
+        r["event_type"]: (r["n"], r["n_outliers"])
+        for r in REGISTRY["robust_outliers_by_type"].fn(spark, SF_DIR).collect()
+    }
+    release_caches()
+    import collections
+
+    per_type = collections.Counter()
+    per_type_anom = collections.Counter()
+    for r in daily:
+        per_type[r["event_type"]] += r["n_events"]
+        per_type_anom[r["event_type"]] += r["n_anomalies"]
+    for t, (n, n_out) in totals.items():
+        assert per_type[t] == n, t
+        assert per_type_anom[t] == n_out, t
