@@ -1034,3 +1034,91 @@ def robust_anomaly_flags_daily(spark, sf_dir):
         .cast("long")
         .alias("n_anomalies"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of customer spend per market segment — the inequality
+# statistic behind "do 1% of customers drive 90% of revenue here".
+# Rank form: G = Σ(2i − n − 1)·x_(i) / (n·Σx) over the segment's sorted
+# per-customer totals.  Determinism: spend is exact integer cents; equal
+# spends make the weighted sum invariant to tie order (the weights over a
+# tied block sum identically), so no tiebreak can leak; the weighted sum
+# and denominator accumulate as DECIMAL(38,0) (rank×cents overflows
+# int64 at scale) and cross to double via the modulo split for ONE IEEE
+# divide.  Scale posture: one custkey aggregate + one per-segment window
+# sort (sort-based ranking, no percentile buffering) + one final
+# aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "gini_spend_by_segment",
+    f"""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey AS k,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT segment, cents,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY cents, k) AS i,
+             COUNT(*) OVER (PARTITION BY segment) AS n
+      FROM spend
+    )
+    SELECT segment,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           {pround_expr(
+               dec2dbl_expr(
+                   "SUM(CAST(2 * i - n - 1 AS DECIMAL(28,0))"
+                   " * CAST(cents AS DECIMAL(28,0)))", 0)
+               + " / ("
+               + dec2dbl_expr(
+                   "SUM(CAST(n AS DECIMAL(28,0)) * CAST(cents AS DECIMAL(28,0)))"
+                   , 0)
+               + ")",
+               6,
+           )} AS gini
+    FROM ranked GROUP BY segment
+    """,
+)
+def gini_spend_by_segment(spark, sf_dir):
+    """Per-segment Gini coefficient of per-customer spend (rank form,
+    exact-cents totals, decimal-exact weighted sums, one IEEE divide)."""
+    from pyspark.sql import Window as W
+
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        F.col("o_custkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("segment")
+    )
+    spend = (
+        o.join(c, "k")
+        .groupBy("segment", "k")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    wr = W.partitionBy("segment").orderBy("cents", "k")
+    wn = W.partitionBy("segment")
+    ranked = spend.select(
+        "segment",
+        "cents",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    num = F.sum(
+        (2 * F.col("i") - F.col("n") - 1).cast("decimal(28,0)")
+        * F.col("cents").cast("decimal(28,0)")
+    )
+    den = F.sum(
+        F.col("n").cast("decimal(28,0)") * F.col("cents").cast("decimal(28,0)")
+    )
+    return ranked.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        pround(dec_to_double(num, 0) / dec_to_double(den, 0), 6).alias("gini"),
+    )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import pround, pround_expr
+from ..functions.exact import dec2dbl_expr, pround, pround_expr
 from ..sources.tables import load_table, read_text, spread, to_text
 from .registry import register
 from .text import _md5_uint_sql
@@ -665,4 +665,86 @@ def keyword_extraction_by_source(spark, sf_dir):
         scored.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= _KW_TOPK)
         .select("source", "word", "tf", "idf_micro", pround(F.col("score"), 4).alias("score"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Mutual information between two categorical columns — the dependence
+# screen entropy profiling builds toward: MI(event_type; day-of-week)
+# says whether traffic composition shifts by weekday.  One joint-count
+# aggregate (map-side combinable); marginals derive from the joint
+# (types- and dows-sized); MI terms quantized to 1e-9 before the exact
+# decimal sum (the KL discipline).  The day-of-week VALUE never appears
+# in the output — only the partition matters, so the Spark-vs-DuckDB
+# weekday-numbering delta (PARITY.md) cannot leak into the hash.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mutual_information_event_dow",
+    f"""
+    WITH j AS (
+      SELECT event_type AS x, dayofweek(CAST(ts AS TIMESTAMP)) AS y,
+             CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM j GROUP BY x),
+    my AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy FROM j GROUP BY y),
+    nn AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM j),
+    terms AS (
+      SELECT (CAST(floor(
+                (CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE))
+                * ln(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)
+                     / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+                * {_INV_LN2!r} * {_ENT_Q}.0 + 0.5) AS DOUBLE) / {_ENT_Q}.0) AS t,
+             n
+      FROM j JOIN mx ON j.x = mx.x JOIN my ON j.y = my.y CROSS JOIN nn
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           {pround_expr(dec2dbl_expr("SUM(CAST(t AS DECIMAL(30,8)))"), 6)}
+             AS mi_bits
+    FROM terms
+    """,
+)
+def mutual_information_event_dow(spark, sf_dir):
+    """MI(event_type; day-of-week) in bits over the events table: joint
+    counts once, marginals from the joint, quantized terms, exact
+    decimal accumulation."""
+    from ..functions.exact import dec_to_double
+    from .registry import cache_scoped
+
+    e = spread(load_table(spark, sf_dir, "events"))
+    j = cache_scoped(
+        e.select(
+            F.col("event_type").alias("x"),
+            F.dayofweek(F.col("ts").cast("timestamp")).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cxy"))
+    )
+    mx = j.groupBy("x").agg(F.sum("cxy").cast("long").alias("cx"))
+    my = j.groupBy("y").agg(F.sum("cxy").cast("long").alias("cy"))
+    nn = j.agg(F.sum("cxy").cast("long").alias("n"))
+    terms = (
+        j.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(nn))
+    )
+    t_raw = (
+        (F.col("cxy").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            F.col("cxy").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+        )
+        * _INV_LN2
+    )
+    qt = F.floor(t_raw * _ENT_Q + F.lit(0.5)).cast("double") / _ENT_Q
+    return terms.select(qt.alias("t"), "n").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        pround(dec_to_double(F.sum(F.col("t").cast("decimal(30,8)"))), 6).alias(
+            "mi_bits"
+        ),
     )

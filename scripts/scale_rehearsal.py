@@ -156,6 +156,8 @@ HEADLINE = [
     "keyword_extraction_by_source",
     "key_skew_report",
     "robust_anomaly_flags_daily",
+    "mutual_information_event_dow",
+    "gini_spend_by_segment",
 ]
 
 

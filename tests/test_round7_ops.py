@@ -434,3 +434,55 @@ def test_anomaly_flags_roll_up_to_outlier_totals(spark):
     for t, (n, n_out) in totals.items():
         assert per_type[t] == n, t
         assert per_type_anom[t] == n_out, t
+
+
+def test_mutual_information_matches_numpy(spark):
+    """MI(event_type; dow) reproduced independently in pandas/numpy to
+    within the 1e-9 term-quantization tolerance, and 0 <= MI."""
+    r = REGISTRY["mutual_information_event_dow"].fn(spark, SF_DIR).first()
+    release_caches()
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ts = pd.to_datetime(ev["ts"])
+    joint = pd.crosstab(ev["event_type"], ts.dt.dayofweek)
+    n = joint.to_numpy().sum()
+    mi = 0.0
+    cells = 0
+    for x in joint.index:
+        for y in joint.columns:
+            cxy = int(joint.loc[x, y])
+            if cxy == 0:
+                continue
+            cells += 1
+            mi += (cxy / n) * math.log(cxy * n / (joint.loc[x].sum() * joint[y].sum())) / math.log(2)
+    assert r["n_rows"] == n and r["n_cells"] == cells
+    assert r["mi_bits"] >= -1e-6
+    assert abs(r["mi_bits"] - mi) < 1e-4, (r["mi_bits"], mi)
+
+
+def test_gini_matches_python_oracle(spark):
+    """Per-segment Gini equals the plain-Python rank-form computation on
+    exact cents, and sits in [0, 1)."""
+    out = {r["segment"]: r for r in REGISTRY["gini_spend_by_segment"].fn(spark, SF_DIR).collect()}
+    release_caches()
+    import math
+
+    import pandas as pd
+
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    o = o.merge(c[["c_custkey", "c_mktsegment"]], left_on="o_custkey", right_on="c_custkey")
+    o["cents"] = (o["o_totalprice"] * 100 + 0.5).apply(math.floor).astype("int64")
+    spend = o.groupby(["c_mktsegment", "o_custkey"])["cents"].sum().reset_index()
+    for seg, g in spend.groupby("c_mktsegment"):
+        xs = sorted(g["cents"])
+        n = len(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        gini = num / (n * sum(xs))
+        r = out[seg]
+        assert r["n_customers"] == n and r["total_cents"] == sum(xs)
+        assert 0.0 <= r["gini"] < 1.0
+        assert abs(r["gini"] - gini) < 1e-6, (seg, r["gini"], gini)
