@@ -112,7 +112,7 @@ def _all_gram_hashes_udf():
       FROM (SELECT doc_id, t, unnest(range(1, len(t) - {_SPAN_L} + 2)) AS u
             FROM norm)
     ),
-    dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT h FROM grams GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
     marked AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (h)),
     flagged AS (
       SELECT doc_id, p,
@@ -167,10 +167,26 @@ def dedup_substring_spans(spark, sf_dir):
     grams = hashed.select("doc_id", F.posexplode("hs").alias("p0", "h")).select(
         "doc_id", (F.col("p0") + 1).alias("p"), "h"
     )
+    # The gram stream is ~len rows/doc: at 10× bench scale it is ~1e9 rows
+    # and the session-global 32 shuffle partitions force the hash
+    # aggregate to spill (measured 20× instead of 10× sf1→sf10 before
+    # this fix — scale defect #10).  Partition the h-shuffle from input
+    # bytes (~2 MB of source parquet per partition, floor 32, cap 2048);
+    # the dup aggregate AND the probe join both reuse this partitioning
+    # (same key → ReuseExchange), so the repartition is the only h-shuffle.
+    import os as _os
+
+    size_bytes = _os.path.getsize(_os.path.join(sf_dir, "documents.parquet"))
+    gram_parts = max(32, min(2048, size_bytes // (2 << 20)))
+    grams = grams.repartition(gram_parts, "h")
+    # "appears in ≥2 distinct docs" == min(doc) != max(doc): one ordinary
+    # partial-aggregable pass — countDistinct planned as a double-shuffle
+    # expand-distinct aggregate over the full gram stream (the other half
+    # of defect #10).
     dup = (
         grams.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"))
+        .filter(F.col("dmin") != F.col("dmax"))
         .select("h")
     )
     # dup scales with the corpus vocabulary — never let AQE broadcast it
