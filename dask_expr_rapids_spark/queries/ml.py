@@ -205,15 +205,25 @@ def naive_bayes_source_classifier(spark, sf_dir):
     def qln(col):
         return F.floor(F.log(col) * _NB_Q + F.lit(0.5)).cast("double") / _NB_Q
 
-    present = (
-        dw.join(csw.hint("shuffle_hash"), "w")
-        .select(
-            "doc_id",
-            "s",
-            (F.col("cnt") * qln(F.col("c").cast("double") + 1.0)).cast(DEC).alias("t"),
-        )
-        .groupBy("doc_id", "s")
-        .agg(dec_to_double(F.sum("t"), 8).alias("present_sum"))
+    # The word join fans out to ~(doc-words x classes) rows — at 10x bench
+    # scale ~1.4e9 through the session-global 32 partitions, which spills
+    # both the join and the (doc, class) aggregate (the defect-#10 spans
+    # lesson).  Size both shuffles from input bytes (~2 MB/partition).
+    import os as _os
+
+    size_bytes = _os.path.getsize(_os.path.join(sf_dir, "documents.parquet"))
+    nb_parts = max(32, min(2048, size_bytes // (2 << 20)))
+    # gate on scale: at bench size the extra exchanges are pure overhead
+    probe = dw.repartition(nb_parts, "w") if nb_parts > 32 else dw
+    joined = probe.join(csw.hint("shuffle_hash"), "w").select(
+        "doc_id",
+        "s",
+        (F.col("cnt") * qln(F.col("c").cast("double") + 1.0)).cast(DEC).alias("t"),
+    )
+    if nb_parts > 32:
+        joined = joined.repartition(nb_parts, "doc_id", "s")
+    present = joined.groupBy("doc_id", "s").agg(
+        dec_to_double(F.sum("t"), 8).alias("present_sum")
     )
     scored = (
         present.join(dlen.hint("shuffle_hash"), "doc_id")
