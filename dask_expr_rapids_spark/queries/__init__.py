@@ -66,7 +66,8 @@ from . import window  # noqa: E402,F401
 # partition_checksum_diff_orders, column_entropy_profile,
 # stream_session_conversion_daily, keyword_extraction_by_source,
 # key_skew_report, robust_anomaly_flags_daily,
-# mutual_information_event_dow, gini_spend_by_segment —
+# mutual_information_event_dow, gini_spend_by_segment,
+# funnel_time_to_convert_daily —
 # plus anything registered after this comment was written — then back-fill
 # with the oldest remaining r4-window queries: rollup_status_priority,
 # groupby_median_quantity, groupby_cov_corr, cumsum_user_value,

@@ -1122,3 +1122,108 @@ def gini_spend_by_segment(spark, sf_dir):
         F.sum("cents").cast("long").alias("total_cents"),
         pround(dec_to_double(num, 0) / dec_to_double(den, 0), 6).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-to-convert — the funnel's latency dimension: per first-view day,
+# how long converting users took from first view to first later
+# purchase.  Deltas are exact integer microseconds; the median is the
+# LOWER median by integer rank (the robust-outliers discipline — no
+# float interpolation), the mean goes through an exact decimal sum.
+# Both user-level aggregates key on user_id (one partitioning); the
+# median window partitions by day.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "funnel_time_to_convert_daily",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    v AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(e.ts_us) AS t2, MIN(v.t1) AS t1
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts_us > v.t1
+          GROUP BY e.user_id),
+    deltas AS (
+      SELECT t1 // {_DAY_US} AS d, t2 - t1 AS delta_us FROM p
+    ),
+    ranked AS (
+      SELECT d, delta_us,
+             ROW_NUMBER() OVER (PARTITION BY d ORDER BY delta_us) AS rn,
+             COUNT(*) OVER (PARTITION BY d) AS n
+      FROM deltas
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(d AS INT), '%Y-%m-%d') AS day,
+           CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN delta_us END) AS BIGINT)
+             AS median_delta_us,
+           {pround_expr(
+               dec2dbl_expr("SUM(CAST(delta_us AS DECIMAL(38,0)))", 0)
+               + " / CAST(COUNT(*) AS DOUBLE) / 1000000.0",
+               3,
+           )} AS avg_delta_s
+    FROM ranked GROUP BY d
+    """,
+)
+def funnel_time_to_convert_daily(spark, sf_dir):
+    """Per first-view day: converting-user count, LOWER-median and exact
+    mean of first-view→first-later-purchase latency."""
+    from pyspark.sql import Window as W
+
+    e = spread(load_table(spark, sf_dir, "events")).filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    e = cache_scoped(e)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    deltas = p.select(
+        F.expr(f"t1 DIV {_DAY_US}").alias("d"),
+        (F.col("t2") - F.col("t1")).alias("delta_us"),
+    )
+    wr = W.partitionBy("d").orderBy("delta_us")
+    wn = W.partitionBy("d")
+    ranked = deltas.select(
+        "d",
+        "delta_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("d").agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("delta_us"))
+        )
+        .cast("long")
+        .alias("median_delta_us"),
+        pround(
+            dec_to_double(F.sum(F.col("delta_us").cast("decimal(38,0)")), 0)
+            / F.count(F.lit(1)).cast("double")
+            / 1_000_000.0,
+            3,
+        ).alias("avg_delta_s"),
+    ).select(
+        F.date_format(
+            F.expr("date_add(DATE '1970-01-01', CAST(d AS INT))"), "yyyy-MM-dd"
+        ).alias("day"),
+        "n_converted",
+        "median_delta_us",
+        "avg_delta_s",
+    )

@@ -158,6 +158,7 @@ HEADLINE = [
     "robust_anomaly_flags_daily",
     "mutual_information_event_dow",
     "gini_spend_by_segment",
+    "funnel_time_to_convert_daily",
 ]
 
 

@@ -486,3 +486,33 @@ def test_gini_matches_python_oracle(spark):
         assert r["n_customers"] == n and r["total_cents"] == sum(xs)
         assert 0.0 <= r["gini"] < 1.0
         assert abs(r["gini"] - gini) < 1e-6, (seg, r["gini"], gini)
+
+
+def test_time_to_convert_matches_python_oracle(spark):
+    """Per-day converting counts and lower-median latency reproduced in
+    plain Python from the raw events."""
+    out = {r["day"]: r for r in REGISTRY["funnel_time_to_convert_daily"].fn(spark, SF_DIR).collect()}
+    release_caches()
+    import collections
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev["event_type"].isin(["view", "purchase"])]
+    ev["us"] = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64") // 1000
+    )
+    t1 = ev[ev["event_type"] == "view"].groupby("user_id")["us"].min()
+    per_day = collections.defaultdict(list)
+    pur = ev[ev["event_type"] == "purchase"]
+    for uid, first_view in t1.items():
+        later = pur[(pur["user_id"] == uid) & (pur["us"] > first_view)]["us"]
+        if len(later):
+            day = pd.Timestamp(first_view * 1000, unit="ns").date().isoformat()
+            per_day[day].append(int(later.min() - first_view))
+    assert set(out) == set(per_day)
+    for day, ds in per_day.items():
+        ds.sort()
+        r = out[day]
+        assert r["n_converted"] == len(ds)
+        assert r["median_delta_us"] == ds[(len(ds) + 1) // 2 - 1], day
