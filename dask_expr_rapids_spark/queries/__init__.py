@@ -40,94 +40,81 @@ from . import window  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver verification window: the driver's CORRECTNESS run covers the FIRST
 # 50 registered queries, so registration order is rotated each round to get
-# every query driver-verified on current code.  ROUND-7 window executes the
-# rotation plan committed in round 6 (and adds `ols_value_trend_by_type`,
-# which was registered after that plan was written — the r6 verdict's
-# item #1): lead with ALL 34 queries that have never been driver-verified
-# (round-6 session additions, all locally oracle-green), then back-fill the
-# remaining 16 slots with the oldest r4-window relational/aggregate queries
-# so their evidence stays fresh.  Every query NOT in the window stays
-# locally oracle-checked at sf0.001 by tests/test_correctness.py (same
-# compare, same DuckDB oracle); tests/test_registry_window.py pins the
-# window to exactly this list.
+# every query driver-verified on current code.  ROUND-8 window executes the
+# rotation plan committed in round 7: lead with ALL 36 queries that have
+# never been driver-verified (35 round-7 session additions + ann_pq, whose
+# PQ training is integer-exact + oracle-twinned this round), then back-fill
+# with the 11 r4-vintage queries (oldest surviving driver hashes) and the
+# 3 oldest r5-window queries.  Every query NOT in the window stays locally
+# oracle-checked at sf0.001 by tests/test_correctness.py (same compare,
+# same DuckDB oracle); tests/test_registry_window.py pins the window to
+# exactly this list.
 #
-# ROUND-8 ROTATION PLAN (edit this list at the START of round 8): lead with
-# the queries added during round 7 (never driver-verified):
-# kmeans_embedding_clusters, bigram_lm_nll_by_source,
-# robust_outliers_by_type, stream_sharded_distinct_users,
-# zipf_fit_vocabulary, leakage_safe_split_stats, pagerank_word_centrality,
-# hll_distinct_users, stream_hll_distinct_users, dedup_image_phash,
-# cms_user_frequency, stream_cms_heavy_hitters, tfidf_hashed_features,
-# snapshot_diff_orders, sessionize_users_batch, peak_concurrency_daily,
-# bloom_semijoin_orders, hll_set_ops_users, dq_validation_report,
-# time_weighted_avg_daily, markov_event_transitions, knn_label_classifier,
-# bfs_khop_word_graph, stream_bloom_purchaser_filter,
-# hopping_window_event_rates, session_conversion_daily,
-# partition_checksum_diff_orders, column_entropy_profile,
-# stream_session_conversion_daily, keyword_extraction_by_source,
-# key_skew_report, robust_anomaly_flags_daily,
-# mutual_information_event_dow, gini_spend_by_segment,
-# funnel_time_to_convert_daily —
-# plus anything registered after this comment was written — then back-fill
-# with the oldest remaining r4-window queries: rollup_status_priority,
-# groupby_median_quantity, groupby_cov_corr, cumsum_user_value,
-# shift_diff_events, ffill_user_value, rolling_mean_7,
-# rank_orders_in_customer, groupby_head_first_orders,
-# resample_hourly_events, resample_daily_ohlc, then the oldest r5-window
-# queries (asof/range/skew/streaming/curation) in registration order.
+# ROUND-9 ROTATION PLAN (edit this list at the START of round 9): lead
+# with every query registered during round 8 (never driver-verified),
+# then back-fill with the oldest remaining r5-window queries in
+# registration order (ann_bruteforce/ivf/lsh_cosine_topk,
+# dataset_split_assign, decontaminate_train_eval, dedup_exact_clusters/
+# summary, dedup_neardup_minhash_lsh, dedup_minhash_components/survivors,
+# dedup_simhash(+components), dedup_ngram_jaccard, dedup_embedding_cosine,
+# stream_* r5 queries, multimodal_*, skew_salted_*, json/orc roundtrips,
+# text quality/stats family) — prefer the ones whose newest hash would
+# otherwise fall 4+ rounds stale (tests/test_evidence_freshness.py
+# computes exactly this set from the committed CORRECTNESS files).
 DRIVER_WINDOW: list[str] = [
-    # never driver-verified: round-6 session additions (34)
-    "dedup_winnowing_fingerprints",
-    "dedup_winnowing_components",
-    "compaction_roundtrip_documents",
-    "stream_binned_quantiles_value",
-    "lexical_rarity_by_source",
-    "cross_source_vocab_overlap",
-    "text_roundtrip_documents",
+    # never driver-verified: round-7 session additions (35) + ann_pq (36)
+    "kmeans_embedding_clusters",
+    "bigram_lm_nll_by_source",
+    "robust_outliers_by_type",
+    "stream_sharded_distinct_users",
+    "zipf_fit_vocabulary",
+    "leakage_safe_split_stats",
+    "pagerank_word_centrality",
+    "hll_distinct_users",
+    "stream_hll_distinct_users",
+    "dedup_image_phash",
+    "cms_user_frequency",
+    "stream_cms_heavy_hitters",
+    "tfidf_hashed_features",
+    "snapshot_diff_orders",
+    "sessionize_users_batch",
+    "peak_concurrency_daily",
+    "bloom_semijoin_orders",
+    "hll_set_ops_users",
+    "dq_validation_report",
+    "time_weighted_avg_daily",
+    "markov_event_transitions",
+    "knn_label_classifier",
+    "bfs_khop_word_graph",
+    "stream_bloom_purchaser_filter",
+    "hopping_window_event_rates",
+    "session_conversion_daily",
+    "partition_checksum_diff_orders",
+    "column_entropy_profile",
+    "stream_session_conversion_daily",
+    "keyword_extraction_by_source",
+    "key_skew_report",
+    "robust_anomaly_flags_daily",
+    "mutual_information_event_dow",
+    "gini_spend_by_segment",
+    "funnel_time_to_convert_daily",
     "ann_pq_cosine_topk",
-    "binned_quantiles_event_value",
-    "dedup_incremental_new_docs",
-    "ann_ivf_partitioned_store",
-    "dedup_substring_spans",
-    "bm25_search_topk",
-    "phrase_search_topk",
-    "merge_upsert_orders",
-    "scd2_customer_history",
-    "weighted_sample_by_source",
-    "graph_triangle_stats",
-    "stream_upsert_dedup_sink",
-    "funnel_view_click_purchase",
-    "cohort_retention_daily",
-    "cooccurrence_word_pairs",
-    "incremental_agg_maintenance",
-    "zorder_layout_stats",
-    "semantic_decontaminate_embeddings",
-    "editdistance_join_prefixes",
-    "source_divergence_stats",
-    "hard_negative_mining",
-    "curation_decision_table",
-    "pointintime_dim_join_orders",
-    "stream_windowed_distinct_users",
-    "ols_price_trend",
-    "naive_bayes_source_classifier",
-    "ols_value_trend_by_type",
-    # back-fill: oldest r4-window relational/aggregate queries (16)
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q11_important_part_value",
-    "agg_global_stats",
-    "agg_var_std",
-    "value_counts_event_type",
-    "mode_event_type",
-    "idxmax_order_per_priority",
-    "quantile_quantity",
-    "distinct_segments",
-    "drop_duplicates_keep_min",
-    "pivot_returnflag_status",
-    "groupby_multi_agg",
+    # back-fill: the 11 r4-vintage queries (oldest driver hashes)
+    "rollup_status_priority",
+    "groupby_median_quantity",
+    "groupby_cov_corr",
+    "cumsum_user_value",
+    "shift_diff_events",
+    "ffill_user_value",
+    "rolling_mean_7",
+    "rank_orders_in_customer",
+    "groupby_head_first_orders",
+    "resample_hourly_events",
+    "resample_daily_ohlc",
+    # back-fill: 3 oldest r5-window queries
+    "asof_join_click_purchase",
+    "range_join_first_hour_events",
+    "skew_salted_join_revenue",
 ]
 
 assert len(DRIVER_WINDOW) == 50, f"window must be exactly 50, got {len(DRIVER_WINDOW)}"

@@ -258,14 +258,15 @@ def cms_user_frequency(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # Deterministic Bloom filter — the MEMBERSHIP sketch, completing the
-# family (HLL = cardinality, CMS = frequency): m = 65536 bits packed as
-# 2048 x 32-bit words (32 bits per BIGINT word keeps every shift
-# sign-safe in both engines), k = 5 md5-derived probes per key
-# (Bloom 1970).
+# family (HLL = cardinality, CMS = frequency): m = _BF_M = 1024 bits
+# packed as 32 x 32-bit words (32 bits per BIGINT word keeps every
+# shift sign-safe in both engines), k = 5 md5-derived probes per key
+# (Bloom 1970).  The streaming twin (_SBF_M, queries/streaming.py)
+# uses 65536 bits / 2048 words — same layout, production-sized.
 #
 # The 100 TB story is the semi-join reduction Spark itself applies as a
 # runtime filter: instead of shuffling the fact table against a
-# corpus-sized key set, the build side collapses to a FIXED 16 KiB
+# corpus-sized key set, the build side collapses to a FIXED 128-byte
 # bit array (bit_or is idempotent and merge-associative — one map-side
 # combinable aggregate), which rides along as a one-row broadcast map;
 # the probe is then pure map-side — NO shuffle touches the fact table

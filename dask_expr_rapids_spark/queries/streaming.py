@@ -98,17 +98,19 @@ def stream_sessionize_users(spark, sf_dir):
     # partition per batch (argues for few partitions at small inputs), but
     # each partition holds its keys' full session state in memory during
     # the drain (8 fixed partitions OOMed the 10M-event sf10 rehearsal).
-    # ~4 MB of input parquet per state partition, floor 8, cap 512:
-    # sf0.1 (18 MB) keeps the 8 the bench budget was set with; sf10
-    # (185 MB) gets 46.  Driver-side file metadata only — no data read.
+    # ~4 MB of input parquet per state partition, floor 32 (the session
+    # shuffle default every bench budget was measured with), cap 512.
+    # Driver-side file metadata only — no data read.  The count is applied
+    # by pinning spark.sql.shuffle.partitions for the drain (round-8
+    # ADVICE fix): stateful operators take their state-store partition
+    # count from that conf at first run and IGNORE upstream repartitions.
     size_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
-    state_partitions = max(8, min(512, size_bytes // (4 << 20)))
+    state_partitions = max(32, min(512, size_bytes // (4 << 20)))
     return run_available_now_to_files(
-        sessionize(
-            stream, gap="30 minutes", watermark="2 hours", state_partitions=state_partitions
-        ),
+        sessionize(stream, gap="30 minutes", watermark="2 hours"),
         out_dir,
         output_mode="complete",
+        shuffle_partitions=state_partitions,
     )
 
 
@@ -339,9 +341,12 @@ def stream_windowed_distinct_users(spark, sf_dir):
 # The SHARDED exact-distinct variant — the production mitigation the plain
 # chained pipeline above documents: (1) the dedup state partition count is
 # sized from input bytes (the sessionize lesson — a fixed count either
-# OOMs at 100× or wastes per-partition commit cost at 1×), pinned by an
-# explicit repartition on the dedup keys (which satisfies the stateful
-# operator's required clustering, so no extra exchange); (2) the windowed
+# OOMs at 100× or wastes per-partition commit cost at 1×), applied by
+# pinning spark.sql.shuffle.partitions for the drain — the ONLY lever
+# Spark honors: stateful operators require StatefulOpClusteredDistribution
+# with exactly that conf's partition count at first run, so an upstream
+# repartition(N, keys) with any other N is ignored (round-8 ADVICE fix;
+# the previous explicit repartition here was inert); (2) the windowed
 # count is computed per (window, user-shard) so no single window key ever
 # concentrates one reducer's state, and the windows x shards partials are
 # rolled up to exact per-window totals by a trivial batch aggregate over
@@ -365,12 +370,10 @@ def stream_sharded_distinct_users(spark, sf_dir):
     byte-sized state partitions and user-shard partial counts; oracle =
     batch COUNT(DISTINCT)."""
     size_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
-    state_partitions = max(8, min(512, size_bytes // (4 << 20)))
+    state_partitions = max(32, min(512, size_bytes // (4 << 20)))
     stream = _events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
     keyed = stream.select(F.window("ts", "1 hour").alias("w"), "user_id")
-    dedup = keyed.repartition(state_partitions, "w", "user_id").dropDuplicates(
-        ["w", "user_id"]
-    )
+    dedup = keyed.dropDuplicates(["w", "user_id"])
     partial = dedup.groupBy(
         "w", F.pmod("user_id", F.lit(_N_USER_SHARDS)).alias("shard")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -378,6 +381,7 @@ def stream_sharded_distinct_users(spark, sf_dir):
         partial.select(F.col("w.start").alias("window_start"), "shard", "n"),
         f"stream_sharded_distinct_{next(_sink_counter)}",
         output_mode="complete",
+        shuffle_partitions=state_partitions,
     )
     return out.groupBy("window_start").agg(
         F.sum("n").cast("long").alias("n_users")
@@ -714,7 +718,12 @@ def stream_bloom_purchaser_filter(spark, sf_dir):
 # SQL verbatim — session_window's merge semantics are the same 30-minute
 # inactivity gap, session start = first event, and duration uses
 # max(ts) - window.start (NOT window.end, which pads the gap), so the
-# streamed result hash-matches the batch endpoint.
+# streamed result hash-matches the batch endpoint.  Boundary convention
+# (pinned by tests/test_streaming.py::test_session_window_exact_gap_
+# boundary, round-8 ADVICE item): session_window MERGES two events
+# exactly 30 minutes apart and splits at 30 min + 1 us — identical to
+# the batch SQL's strict `gap > 30 min` new-session predicate, so the
+# equivalence holds at the exact-gap boundary too.
 # --------------------------------------------------------------------------
 _SC_GAP_US = 30 * 60 * 1_000_000
 _SC_DAY_US = 86_400_000_000
@@ -766,16 +775,22 @@ def stream_session_conversion_daily(spark, sf_dir):
         "ts",
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
     ).withWatermark("ts", "2 hours")
+    # State-partition sizing via the shuffle-partition pin (round-8 ADVICE
+    # fix — the repartition previously here was inert; see
+    # stream_sharded_distinct_users).  Floor 32 = the session default the
+    # bench budget was measured with.
     size_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
-    state_partitions = max(8, min(512, size_bytes // (4 << 20)))
-    src = src.repartition(state_partitions, "user_id")
+    state_partitions = max(32, min(512, size_bytes // (4 << 20)))
     sess = (
         src.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
         .agg(F.max("is_p").alias("converted"))
         .select(F.col("sw.start").alias("start_ts"), "converted")
     )
     out = run_available_now(
-        sess, f"stream_sconv_{next(_sink_counter)}", output_mode="complete"
+        sess,
+        f"stream_sconv_{next(_sink_counter)}",
+        output_mode="complete",
+        shuffle_partitions=state_partitions,
     )
     sessions = out.select(
         F.expr(f"unix_micros(start_ts) DIV {_SC_DAY_US}").alias("d"), "converted"

@@ -116,23 +116,22 @@ def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",
     watermark: str = "2 hours",
-    state_partitions: int | None = None,
 ) -> DataFrame:
     """Per-user session aggregation via native session windows (gap-merged
     event-time windows; state evicted past the watermark).
 
-    ``state_partitions`` pre-partitions by ``user_id``, which the session-
-    window aggregation accepts as its required clustering — so it also
-    fixes the stateful operator's partition count WITHOUT touching the
-    session-global ``spark.sql.shuffle.partitions``.  Set it small for
-    bounded drains (state-store commit cost is per partition per batch);
-    leave ``None`` on large continuous jobs so the shuffle default governs.
+    State-partition sizing does NOT belong in this plan: Spark's stateful
+    operators demand ``StatefulOpClusteredDistribution`` with exactly
+    ``spark.sql.shuffle.partitions`` partitions, so a ``repartition(N,
+    keys)`` with any other N is ignored (Spark inserts its own exchange
+    on top).  To size the state store, pass ``shuffle_partitions=`` to the
+    drain helpers (:func:`run_available_now` /
+    :func:`run_available_now_to_files`) — the count is pinned into the
+    checkpoint at the query's FIRST run (round-8 ADVICE fix).
     """
     src = _normalize_ts(events)
     if src.isStreaming:
         src = src.withWatermark("ts", watermark)
-    if state_partitions:
-        src = src.repartition(state_partitions, "user_id")
     return (
         src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
         .agg(
@@ -230,21 +229,49 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, sink_table: str, output_mode: str = "complete"):
+#: Final ``lastProgress`` of the most recent drain — lets tests assert
+#: physical state-store facts (e.g. ``stateOperators[*].numShufflePartitions``
+#: equals the pinned count) instead of trusting plan comments.
+LAST_DRAIN_PROGRESS: dict | None = None
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    sink_table: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
+):
     """Drain everything currently available through the streaming plan into
     an in-memory sink table, then stop.  Returns the query's final table
     (``spark.table(sink_table)``) for inspection/diffing.
 
+    ``shuffle_partitions`` is THE state-partition lever: stateful operators
+    take their state-store partition count from ``spark.sql.shuffle
+    .partitions`` at the query's first run (pinned in the checkpoint
+    thereafter) and reject any other clustering — a ``repartition(N, keys)``
+    upstream is ignored.  The conf is set for the drain and restored after
+    (round-8 ADVICE fix).
+
     Test/demo harness only — the memory sink accumulates on the driver; the
     production drain is :func:`run_available_now_to_files`."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        global LAST_DRAIN_PROGRESS
+        LAST_DRAIN_PROGRESS = q.lastProgress
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
     return stream_df.sparkSession.table(sink_table)
 
 
@@ -253,10 +280,16 @@ def run_available_now_to_files(
     out_dir: str,
     output_mode: str = "complete",
     checkpoint: str | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Backfill drain to a parquet directory: every micro-batch is written
     by the EXECUTORS via ``foreachBatch`` — nothing accumulates on the
     driver, unlike the memory sink.
+
+    ``shuffle_partitions`` pins the state-store partition count for THIS
+    drain (see :func:`run_available_now` — stateful operators take it from
+    ``spark.sql.shuffle.partitions`` at first run; upstream repartitions
+    are ignored).
 
     Multi-batch safety: ``availableNow`` splits into several micro-batches
     whenever the reader caps file rate (``maxFilesPerTrigger``), so the
@@ -299,17 +332,27 @@ def run_available_now_to_files(
             )
         sink_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        stream_df.writeStream.foreachBatch(_write)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            checkpoint or scratch_dir("spark_graft_ckpt_", base=scratch),
+    spark = stream_df.sparkSession
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(_write)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                checkpoint or scratch_dir("spark_graft_ckpt_", base=scratch),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+        global LAST_DRAIN_PROGRESS
+        LAST_DRAIN_PROGRESS = q.lastProgress
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
     return stream_df.sparkSession.read.parquet(out_dir)
 
 

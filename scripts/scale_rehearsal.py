@@ -277,7 +277,7 @@ def make_lineitem() -> None:
     duckdb.sql(
         f"""
         COPY (
-          SELECT l.* REPLACE (l_orderkey + r * 10000000 AS l_orderkey)
+          SELECT l.* REPLACE (l_orderkey + r * 15015000 AS l_orderkey)
           FROM read_parquet('{SRC}/lineitem.parquet') l, range({reps}) t(r)
         ) TO '{os.path.join(OUT, "lineitem.parquet")}' (FORMAT PARQUET)
         """
@@ -287,16 +287,18 @@ def make_lineitem() -> None:
 def make_orders_customer() -> None:
     """10×SCALE orders + customer by key-offset replication — BOTH sides
     of the dimension join scale (more customers, not denser ones), so the
-    SCD2/point-in-time set rehearses constant per-key fan-out.  The 10M
-    offset is a multiple of the %5/%7/%13/%15 branch moduli, so every
-    replica has the same matched/updated/inserted mix as the original."""
+    SCD2/point-in-time set rehearses constant per-key fan-out.  The
+    15,015,000 offset is a multiple of lcm(5,7,11,13,15) = 15015, so
+    every replica has the same matched/updated/inserted mix as the
+    original under every branch modulus the queries use (the old 10M
+    offset only preserved the %5 split — round-8 ADVICE fix)."""
     import duckdb
 
     reps = 10 * SCALE
     duckdb.sql(
         f"""
         COPY (
-          SELECT c.* REPLACE (c_custkey + r * 10000000 AS c_custkey)
+          SELECT c.* REPLACE (c_custkey + r * 15015000 AS c_custkey)
           FROM read_parquet('{SRC}/customer.parquet') c, range({reps}) t(r)
         ) TO '{os.path.join(OUT, "customer.parquet")}' (FORMAT PARQUET)
         """
@@ -304,8 +306,8 @@ def make_orders_customer() -> None:
     duckdb.sql(
         f"""
         COPY (
-          SELECT o.* REPLACE (o_orderkey + r * 10000000 AS o_orderkey,
-                              o_custkey + r * 10000000 AS o_custkey)
+          SELECT o.* REPLACE (o_orderkey + r * 15015000 AS o_orderkey,
+                              o_custkey + r * 15015000 AS o_custkey)
           FROM read_parquet('{SRC}/orders.parquet') o, range({reps}) t(r)
         ) TO '{os.path.join(OUT, "orders.parquet")}' (FORMAT PARQUET)
         """

@@ -14,47 +14,63 @@ def test_window_is_exactly_the_first_fifty():
 
 
 def test_window_prioritizes_unverified_queries():
-    # Round-7 rotation closes the verification debt itemized in the round-6
-    # verdict: ALL 34 never-driver-verified queries (round-6 session
-    # additions, including ols_value_trend_by_type which the committed plan
-    # comment omitted) must lead the window.
+    # Round-8 rotation closes the verification debt itemized in the round-7
+    # verdict: ALL 36 never-driver-verified queries (35 round-7 session
+    # additions + ann_pq_cosine_topk, oracle-twinned this round) must lead
+    # the window, followed by the 11 r4-vintage hashes.
     never_verified = [
-        "dedup_winnowing_fingerprints",
-        "dedup_winnowing_components",
-        "compaction_roundtrip_documents",
-        "stream_binned_quantiles_value",
-        "lexical_rarity_by_source",
-        "cross_source_vocab_overlap",
-        "text_roundtrip_documents",
+        "kmeans_embedding_clusters",
+        "bigram_lm_nll_by_source",
+        "robust_outliers_by_type",
+        "stream_sharded_distinct_users",
+        "zipf_fit_vocabulary",
+        "leakage_safe_split_stats",
+        "pagerank_word_centrality",
+        "hll_distinct_users",
+        "stream_hll_distinct_users",
+        "dedup_image_phash",
+        "cms_user_frequency",
+        "stream_cms_heavy_hitters",
+        "tfidf_hashed_features",
+        "snapshot_diff_orders",
+        "sessionize_users_batch",
+        "peak_concurrency_daily",
+        "bloom_semijoin_orders",
+        "hll_set_ops_users",
+        "dq_validation_report",
+        "time_weighted_avg_daily",
+        "markov_event_transitions",
+        "knn_label_classifier",
+        "bfs_khop_word_graph",
+        "stream_bloom_purchaser_filter",
+        "hopping_window_event_rates",
+        "session_conversion_daily",
+        "partition_checksum_diff_orders",
+        "column_entropy_profile",
+        "stream_session_conversion_daily",
+        "keyword_extraction_by_source",
+        "key_skew_report",
+        "robust_anomaly_flags_daily",
+        "mutual_information_event_dow",
+        "gini_spend_by_segment",
+        "funnel_time_to_convert_daily",
         "ann_pq_cosine_topk",
-        "binned_quantiles_event_value",
-        "dedup_incremental_new_docs",
-        "ann_ivf_partitioned_store",
-        "dedup_substring_spans",
-        "bm25_search_topk",
-        "phrase_search_topk",
-        "merge_upsert_orders",
-        "scd2_customer_history",
-        "weighted_sample_by_source",
-        "graph_triangle_stats",
-        "stream_upsert_dedup_sink",
-        "funnel_view_click_purchase",
-        "cohort_retention_daily",
-        "cooccurrence_word_pairs",
-        "incremental_agg_maintenance",
-        "zorder_layout_stats",
-        "semantic_decontaminate_embeddings",
-        "editdistance_join_prefixes",
-        "source_divergence_stats",
-        "hard_negative_mining",
-        "curation_decision_table",
-        "pointintime_dim_join_orders",
-        "stream_windowed_distinct_users",
-        "ols_price_trend",
-        "naive_bayes_source_classifier",
-        "ols_value_trend_by_type",
     ]
-    assert DRIVER_WINDOW[:34] == never_verified
+    assert DRIVER_WINDOW[:36] == never_verified
+    r4_vintage = [
+        "rollup_status_priority",
+        "groupby_median_quantity",
+        "groupby_cov_corr",
+        "cumsum_user_value",
+        "shift_diff_events",
+        "ffill_user_value",
+        "rolling_mean_7",
+        "rank_orders_in_customer",
+        "groupby_head_first_orders",
+        "resample_hourly_events",
+        "resample_daily_ohlc",
+    ]
+    assert DRIVER_WINDOW[36:47] == r4_vintage
 
 
 def test_every_registered_query_has_fn():

@@ -233,3 +233,56 @@ def test_upsert_sink_refeed_is_idempotent(spark):
     assert n_store_2 == n_store_1  # nothing admitted on replay
     n_audit_2 = spark.read.parquet(os.path.join(root, "audit2")).count()
     assert n_audit_2 == tagged.count()  # every incoming row rejected
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Pin session_window's merge convention at an EXACTLY-gap-sized
+    inactivity gap (round-8 ADVICE item): two events 30 minutes apart
+    MERGE into one session (a new session starts only when the gap is
+    STRICTLY greater than 30 min) — the same `diff > gap` convention the
+    batch gaps-and-islands SQL twins use, so the claimed batch/stream
+    equivalence holds at the boundary too."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    eps = dt.timedelta(microseconds=1)
+    gap = dt.timedelta(minutes=30)
+
+    def n_sessions(ts2):
+        df = spark.createDataFrame([Row(user_id=1, ts=t0), Row(user_id=1, ts=ts2)])
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+
+    assert n_sessions(t0 + gap) == 1  # exactly 30 min -> MERGES
+    assert n_sessions(t0 + gap + eps) == 2  # 30 min + 1 us -> splits
+
+
+def test_state_partition_pin_reaches_state_store(spark, events_dir):
+    """The round-8 ADVICE fix must be PHYSICAL: draining with
+    ``shuffle_partitions=N`` pins the stateful operator's state store to
+    exactly N partitions (visible in progress metrics), while the session
+    conf is restored afterwards.  An upstream repartition cannot do this —
+    stateful ops require StatefulOpClusteredDistribution at exactly
+    spark.sql.shuffle.partitions."""
+    from dask_expr_rapids_spark.streaming import ops
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = read_events_stream(spark, events_dir)
+    out = run_available_now(
+        windowed_counts(stream),
+        "t_pin_probe",
+        output_mode="complete",
+        shuffle_partitions=7,
+    )
+    assert out.count() > 0
+    prog = ops.LAST_DRAIN_PROGRESS
+    assert prog is not None and prog.get("stateOperators"), prog
+    n = prog["stateOperators"][0].get("numShufflePartitions")
+    assert n == 7, f"state store ran with {n} partitions, expected the pinned 7"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior
