@@ -195,13 +195,133 @@ def text_roundtrip_documents(spark, sf_dir):
 # --------------------------------------------------------------------------
 # PQ ANN: asymmetric-distance cosine top-k over product-quantized codes —
 # the memory-scale path of the ANN family (brute = exact baseline, IVF =
-# scan pruning, LSH = candidate bucketing, PQ = index compression).  No
-# SQL twin: the codebooks come from an iterative Lloyd quantizer that is
-# not reasonably SQL-expressible, so the driver records the rows-only
-# check; exactness of the machinery is pinned by the recall test against
-# brute force (tests/test_scale_ops.py).
+# scan pruning, LSH = candidate bucketing, PQ = index compression).
+#
+# ORACLE (round-8, closing the registry's last rows-only row): the PQ
+# trainer is integer-exact end to end (quantized inputs, exact BIGINT
+# squared distances, decimal-sum + floor-division centroid updates, ties
+# to the lowest code), and it runs a FIXED iters=2 Lloyd loop — so the
+# "iterative" quantizer is just two unrolled relational passes, exactly
+# the technique kmeans_embedding_clusters proved.  The SQL twin below
+# mirrors every stage: seeds = the ksub lowest-id vectors' subvectors,
+# b0→(assign,update)→b1→(assign,update)→b2 codebooks (empty codes keep
+# the previous centroid via COALESCE), final codes under b2, reconstructed
+# norms from codebook entries, per-(probe,candidate) ADC dot as one exact
+# integer sum, double cosine with the identical sqrt·sqrt denominator,
+# k*rerank=40 shortlist by (score DESC, id), and the exact quantized-
+# cosine re-rank of the shortlist.  Every accumulation is an exact
+# integer; the only doubles are the final IEEE divisions both engines
+# perform identically — hence hash equality, not approximate agreement.
+# Recall >= 0.6 vs brute force stays pinned in tests/test_scale_ops.py.
 # --------------------------------------------------------------------------
-@register("ann_pq_cosine_topk", None)
+_PQ_M = 8
+_PQ_KSUB = 16
+_PQ_DS = _DIM_PQ = 64 // _PQ_M  # ds = 8 dims per subspace
+_PQ_SHORT = 5 * 8  # k * rerank
+
+_PQ_ASSIGN_SQL = """
+    d{it} AS (
+      SELECT q.id, q.j, b.c, SUM((q.x - b.v) * (q.x - b.v)) AS d2
+      FROM qsub q JOIN b{prev} b ON b.j = q.j AND b.i = q.i
+      GROUP BY 1, 2, 3
+    ),
+    a{it} AS (
+      SELECT id, j, c FROM (
+        SELECT id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY id, j ORDER BY d2, c) AS rn
+        FROM d{it}) t
+      WHERE rn = 1
+    )"""
+
+_PQ_UPDATE_SQL = """
+    m{it} AS (
+      SELECT a.j, a.c, q.i,
+             CAST(FLOOR(CAST(SUM(q.x) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS v
+      FROM a{it} a JOIN qsub q ON q.id = a.id AND q.j = a.j
+      GROUP BY 1, 2, 3
+    ),
+    b{it} AS (
+      SELECT b{prev}.j, b{prev}.c, b{prev}.i, COALESCE(m{it}.v, b{prev}.v) AS v
+      FROM b{prev} LEFT JOIN m{it}
+        ON m{it}.j = b{prev}.j AND m{it}.c = b{prev}.c AND m{it}.i = b{prev}.i
+    )"""
+
+_PQ_SQL = f"""
+    WITH qv AS (
+      SELECT vec_id AS id, CAST(u AS INT) AS u,
+             CAST(round(CAST(embedding[CAST(u AS INT) + 1] AS DOUBLE)
+                        * 1000000, 0) AS BIGINT) AS x
+      FROM (SELECT vec_id, embedding, unnest(range(64)) AS u FROM embeddings) e
+    ),
+    qsub AS (
+      SELECT id, u // {_PQ_DS} AS j, u % {_PQ_DS} AS i, x FROM qv
+    ),
+    seeds AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS c
+      FROM (SELECT DISTINCT id FROM qv ORDER BY id LIMIT {_PQ_KSUB}) s
+    ),
+    b0 AS (
+      SELECT q.j, s.c, q.i, q.x AS v
+      FROM seeds s JOIN qsub q ON q.id = s.id
+    ),
+    {_PQ_ASSIGN_SQL.format(it=1, prev=0)},
+    {_PQ_UPDATE_SQL.format(it=1, prev=0)},
+    {_PQ_ASSIGN_SQL.format(it=2, prev=1)},
+    {_PQ_UPDATE_SQL.format(it=2, prev=1)},
+    {_PQ_ASSIGN_SQL.format(it=3, prev=2)},
+    rn2 AS (
+      SELECT a.id, SUM(b.v * b.v) AS rn2
+      FROM a3 a JOIN b2 b ON b.j = a.j AND b.c = a.c
+      GROUP BY a.id
+    ),
+    norms AS (SELECT id, SUM(x * x) AS n2 FROM qv GROUP BY id),
+    adc AS (
+      SELECT p.id AS qid, a.id AS nid, SUM(p.x * b.v) AS dot
+      FROM (SELECT * FROM qsub WHERE id < 5) p
+      JOIN a3 a ON a.id <> p.id AND a.j = p.j
+      JOIN b2 b ON b.j = a.j AND b.c = a.c AND b.i = p.i
+      GROUP BY 1, 2
+    ),
+    adcscore AS (
+      SELECT adc.qid, adc.nid,
+             CAST(adc.dot AS DOUBLE) / (sqrt(CAST(np.n2 AS DOUBLE))
+                                        * sqrt(CAST(r.rn2 AS DOUBLE))) AS s
+      FROM adc JOIN norms np ON np.id = adc.qid
+      JOIN rn2 r ON r.id = adc.nid
+    ),
+    short AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+        FROM adcscore) t
+      WHERE rn <= {_PQ_SHORT}
+    ),
+    ed AS (
+      SELECT s.qid, s.nid, SUM(pq.x * cq.x) AS dot
+      FROM short s
+      JOIN qv pq ON pq.id = s.qid
+      JOIN qv cq ON cq.id = s.nid AND cq.u = pq.u
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT e.qid, e.nid,
+             CAST(e.dot AS DOUBLE) / (sqrt(CAST(np.n2 AS DOUBLE))
+                                      * sqrt(CAST(nc.n2 AS DOUBLE))) AS pq_cosine
+      FROM ed e JOIN norms np ON np.id = e.qid JOIN norms nc ON nc.id = e.nid
+    )
+    SELECT qid, nid AS vec_id, CAST(rank AS BIGINT) AS rank,
+           (CAST(floor(pq_cosine * 1000000.0 + 0.5) AS DOUBLE)
+            / 1000000.0) AS pq_cosine
+    FROM (SELECT qid, nid, pq_cosine,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY pq_cosine DESC, nid) AS rank
+          FROM ex) t
+    WHERE rank <= 5
+    """
+
+
+@register("ann_pq_cosine_topk", _PQ_SQL)
 def ann_pq_cosine_topk(spark, sf_dir):
     from ..operators.similarity import pq_topk
 
