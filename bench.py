@@ -79,6 +79,10 @@ HEADLINE = [
     # (image perceptual hash over the binary payload column)
     "hll_distinct_users",
     "dedup_image_phash",
+    # round-8 additions: the 9th dedup strategy (URL canonicalization)
+    # and the learned linear quality scorer
+    "dedup_url_canonical",
+    "quality_scorer_linear",
 ]
 
 N_RUNS = 5

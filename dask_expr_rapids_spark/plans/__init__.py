@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "plan_of",
+    "dedupe_cached_subtrees",
     "pushed_filters",
     "read_schema",
     "scan_details",
@@ -48,6 +49,63 @@ def plan_of(df: DataFrame, mode: str = "formatted") -> str:
     with contextlib.redirect_stdout(buf):
         df.explain(mode)
     return buf.getvalue()
+
+
+_TREE_PREFIX_RE = re.compile(r"^[\s:+\-|]*")
+
+
+def _tree_depth(line: str) -> int:
+    """Nesting depth proxy: length of the tree-drawing prefix
+    (spaces / ``:`` / ``+-`` / ``|``) before the node text."""
+    return len(_TREE_PREFIX_RE.match(line).group(0))
+
+
+def dedupe_cached_subtrees(plan: str) -> str:
+    """Plan text with each cached build subtree appearing exactly ONCE.
+
+    ``explain`` prints an ``InMemoryRelation``'s full build plan under
+    EVERY ``InMemoryTableScan`` consumer, so substring counters over the
+    raw text charge a cached pipeline's exchanges once per consumer —
+    physically the build runs once, at first materialization (the
+    round-7 verdict's audit-inflation finding: a cache_scoped pair graph
+    consumed ~6× reported 62 shuffles for a plan that executes ~10).
+    Repeated occurrences are identified by the InMemoryRelation block's
+    normalized text: expression ids ``#n`` are masked, and the header's
+    output-attribute list is dropped entirely — a consumer that ALIASES
+    the cached frame (``select(col("id1").alias("a"))``) prints the same
+    relation with renamed output attributes (``[a#196L, b#197L]`` vs
+    ``[id1#36L, id2#37L]``) while the printed build subtree underneath is
+    the shared ``cachedPlan`` object, textually identical modulo ids.
+    Duplicates are dropped; the first occurrence keeps the build subtree
+    so its exchanges count exactly once."""
+    lines = plan.splitlines()
+    out: list[str] = []
+    seen: set[str] = set()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" in line:
+            depth = _tree_depth(line)
+            j = i + 1
+            block = [line]
+            while j < len(lines) and lines[j].strip() and _tree_depth(lines[j]) > depth:
+                block.append(lines[j])
+                j += 1
+            head = _TREE_PREFIX_RE.sub("", block[0])
+            head = re.sub(r"\[[^\]]*\]", "[out]", head, count=1)
+            key = re.sub(
+                r"#\d+",
+                "#x",
+                "\n".join([head] + [_TREE_PREFIX_RE.sub("", l) for l in block[1:]]),
+            )
+            if key not in seen:
+                seen.add(key)
+                out.extend(block)
+            i = j
+            continue
+        out.append(line)
+        i += 1
+    return "\n".join(out)
 
 
 def _parse_pushed(line: str) -> list[str]:
@@ -141,16 +199,18 @@ def has_python_row_udf(df: DataFrame) -> bool:
 
 def count_broadcast_exchanges(df: DataFrame) -> int:
     """Broadcast exchange count, from the simple plan (one tree, so each
-    node counts once)."""
-    return plan_of(df, "simple").count("BroadcastExchange")
+    node counts once; cached subtrees deduplicated — they build once)."""
+    return dedupe_cached_subtrees(plan_of(df, "simple")).count("BroadcastExchange")
 
 
 def count_shuffle_exchanges(df: DataFrame) -> int:
     """Shuffle (non-broadcast) exchange count, from the simple plan —
     formatted mode never prints ``Exchange hashpartitioning`` on one line
     (the partitioning moves to an ``Arguments:`` detail line), so simple
-    mode is the reliable source."""
-    plan = plan_of(df, "simple")
+    mode is the reliable source.  Cached subtrees count once (physical
+    truth: an InMemoryRelation's build executes at first materialization,
+    not per consumer)."""
+    plan = dedupe_cached_subtrees(plan_of(df, "simple"))
     return sum(
         plan.count(f"Exchange {kind}")
         for kind in (
@@ -215,6 +275,18 @@ def audit(df: DataFrame, wide_scan_threshold: int = 12) -> dict:
     if has_python_row_udf(df):
         hazards.append("python_row_udf")
     scans = scan_details(df)
+    if "InMemoryRelation" in plan:
+        # cached build subtrees print once per consumer — collapse the
+        # textually identical repeated scans so parquet_scans reports
+        # physical scans, matching the deduplicated exchange counters
+        uniq: list[dict] = []
+        seen_scan: set[str] = set()
+        for s in scans:
+            key = repr(s)
+            if key not in seen_scan:
+                seen_scan.add(key)
+                uniq.append(s)
+        scans = uniq
     if any(
         len(s["read_columns"]) >= wide_scan_threshold and not s["pushed_filters"]
         for s in scans
@@ -230,6 +302,8 @@ def audit(df: DataFrame, wide_scan_threshold: int = 12) -> dict:
             "pushed_filters": [p for s in scans for p in s["pushed_filters"]],
             "read_columns": sorted({c for s in scans for c in s["read_columns"]}),
             "codegen_spans": count_codegen_spans(df),
-            "arrow_python_evals": plan_of(df, "simple").count("ArrowEvalPython"),
+            "arrow_python_evals": dedupe_cached_subtrees(
+                plan_of(df, "simple")
+            ).count("ArrowEvalPython"),
         },
     }

@@ -21,6 +21,7 @@ from . import round3  # noqa: E402,F401
 from . import round5  # noqa: E402,F401
 from . import round6  # noqa: E402,F401
 from . import round7  # noqa: E402,F401
+from . import round8  # noqa: E402,F401
 from . import spans  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 from . import mutation  # noqa: E402,F401
@@ -51,8 +52,10 @@ from . import window  # noqa: E402,F401
 # exactly this list.
 #
 # ROUND-9 ROTATION PLAN (edit this list at the START of round 9): lead
-# with every query registered during round 8 (never driver-verified),
-# then back-fill with the oldest remaining r5-window queries in
+# with every query registered during round 8 (never driver-verified —
+# as of this comment: dedup_url_canonical, quality_scorer_linear, plus
+# anything registered later in round 8), then back-fill with the oldest
+# remaining r5-window queries in
 # registration order (ann_bruteforce/ivf/lsh_cosine_topk,
 # dataset_split_assign, decontaminate_train_eval, dedup_exact_clusters/
 # summary, dedup_neardup_minhash_lsh, dedup_minhash_components/survivors,

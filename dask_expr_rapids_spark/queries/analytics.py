@@ -321,24 +321,23 @@ _RANKED_SQL = """
 def robust_outliers_by_type(spark, sf_dir):
     """Per-event-type robust outlier counts via median/MAD modified
     z-scores; see the block comment for the determinism and scale
-    contract."""
-    from pyspark.sql import Window as W
+    contract.
 
+    Scale path (round 8): the lower medians come from
+    ``operators.selection.grouped_lower_median`` — a per-type window sort
+    at bench scale, a histogram-bucketed exact selection above 64 MB of
+    input, because a ``PARTITION BY event_type`` sort caps parallelism at
+    n_types tasks (the sf1→sf10 scan's 7-10× growth)."""
+    import os as _os
+
+    from ..operators.selection import grouped_lower_median
+
+    nbytes = _os.path.getsize(_os.path.join(sf_dir, "events.parquet"))
     e = spread(load_table(spark, sf_dir, "events")).select("event_type", "value")
 
     def lower_median(df, col, out):
-        w = W.partitionBy("event_type").orderBy(col)
-        wn = W.partitionBy("event_type")
-        ranked = df.select(
-            "event_type",
-            F.col(col),
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wn).alias("n"),
-        )
-        return (
-            ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
-            .groupBy("event_type")
-            .agg(F.min(col).alias(out))
+        return grouped_lower_median(
+            df, "event_type", col, out, input_bytes=nbytes
         )
 
     med = lower_median(e, "value", "med")
@@ -989,27 +988,26 @@ _ANOM_RANKED_SQL = """
 )
 def robust_anomaly_flags_daily(spark, sf_dir):
     """Per-(event_type, day) counts of modified-z-score anomalies
-    (0.6745·|x−med| > 3.5·MAD with the type's lower median/MAD)."""
-    from pyspark.sql import Window as W
+    (0.6745·|x−med| > 3.5·MAD with the type's lower median/MAD).
 
+    Scale path (round 8): lower medians via
+    ``operators.selection.grouped_lower_median`` — windowed at bench
+    scale, histogram-bucketed exact selection above 64 MB (a per-type
+    window sort runs on n_types tasks regardless of cluster size; this
+    query was the sf1→sf10 scan's 9.9× outlier)."""
+    import os as _os
+
+    from ..operators.selection import grouped_lower_median
+
+    nbytes = _os.path.getsize(_os.path.join(sf_dir, "events.parquet"))
     e = spread(load_table(spark, sf_dir, "events")).select(
         "event_type", "value", F.to_date("ts").alias("dday")
     )
     e = cache_scoped(e)
 
     def lower_median(df, col, out):
-        w = W.partitionBy("event_type").orderBy(col)
-        wn = W.partitionBy("event_type")
-        ranked = df.select(
-            "event_type",
-            F.col(col),
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wn).alias("n"),
-        )
-        return (
-            ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
-            .groupBy("event_type")
-            .agg(F.min(col).alias(out))
+        return grouped_lower_median(
+            df, "event_type", col, out, input_bytes=nbytes
         )
 
     med = lower_median(e, "value", "med")

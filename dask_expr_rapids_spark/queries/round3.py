@@ -96,7 +96,11 @@ def stream_dedup_event_keys(spark, sf_dir):
     keys = stream.select("user_id", "event_type", "ts")
     deduped = stream_dedup(keys, ["user_id", "event_type"], watermark="36500 days")
     sink = f"stream_dedup_keys_{next(_sink_counter)}"
-    out = run_available_now(deduped, sink, output_mode="append")
+    from .streaming import _state_parts
+
+    out = run_available_now(
+        deduped, sink, output_mode="append", shuffle_partitions=_state_parts(sf_dir)
+    )
     return out.select("user_id", "event_type")
 
 

@@ -29,6 +29,17 @@ from .registry import register
 _sink_counter = itertools.count()
 
 
+def _state_parts(sf_dir: str) -> int:
+    """Byte-derived state-store partition count for a drain over the
+    events table: ~4 MB of input parquet per partition, floor 32 (the
+    session shuffle default every bench budget was measured with), cap
+    512.  Passed as ``shuffle_partitions=`` to the drain helpers — the
+    ONLY lever stateful operators honor (round-8 ADVICE fix; see
+    stream_sharded_distinct_users).  Driver-side file metadata only."""
+    size_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    return max(32, min(512, size_bytes // (4 << 20)))
+
+
 def _events_stream(spark, sf_dir: str):
     """Stream events.parquet in place (pathGlobFilter on the data dir) —
     no driver-side staging copy."""
@@ -55,6 +66,7 @@ def stream_windowed_event_counts(spark, sf_dir):
         windowed_counts(stream, window="1 hour", watermark="2 hours"),
         sink,
         output_mode="complete",
+        shuffle_partitions=_state_parts(sf_dir),
     )
     return out
 
@@ -104,8 +116,7 @@ def stream_sessionize_users(spark, sf_dir):
     # by pinning spark.sql.shuffle.partitions for the drain (round-8
     # ADVICE fix): stateful operators take their state-store partition
     # count from that conf at first run and IGNORE upstream repartitions.
-    size_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
-    state_partitions = max(32, min(512, size_bytes // (4 << 20)))
+    state_partitions = _state_parts(sf_dir)
     return run_available_now_to_files(
         sessionize(stream, gap="30 minutes", watermark="2 hours"),
         out_dir,
@@ -152,6 +163,7 @@ def stream_trending_event_types(spark, sf_dir):
         windowed_counts(stream, window="1 hour", watermark="2 hours"),
         sink,
         output_mode="complete",
+        shuffle_partitions=_state_parts(sf_dir),
     )
     w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
     return (
@@ -201,6 +213,7 @@ def stream_binned_quantiles_value(spark, sf_dir):
         windowed_counts(stream, window="1 hour", watermark="2 hours", by="bin"),
         sink,
         output_mode="complete",
+        shuffle_partitions=_state_parts(sf_dir),
     )
     wc = W.partitionBy("window_start").orderBy("bin")
     wn = W.partitionBy("window_start")
@@ -333,6 +346,7 @@ def stream_windowed_distinct_users(spark, sf_dir):
         agg.select(F.col("w.start").alias("window_start"), "n_users"),
         f"stream_distinct_users_{next(_sink_counter)}",
         output_mode="complete",
+        shuffle_partitions=_state_parts(sf_dir),
     )
     return out
 
@@ -369,8 +383,7 @@ def stream_sharded_distinct_users(spark, sf_dir):
     """Exact distinct users per tumbling hour by a STREAMING job with
     byte-sized state partitions and user-shard partial counts; oracle =
     batch COUNT(DISTINCT)."""
-    size_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
-    state_partitions = max(32, min(512, size_bytes // (4 << 20)))
+    state_partitions = _state_parts(sf_dir)
     stream = _events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
     keyed = stream.select(F.window("ts", "1 hour").alias("w"), "user_id")
     dedup = keyed.dropDuplicates(["w", "user_id"])
@@ -465,6 +478,7 @@ def stream_hll_distinct_users(spark, sf_dir):
         regs.select(F.col("w.start").alias("window_start"), "bucket", "m_raw"),
         f"stream_hll_{next(_sink_counter)}",
         output_mode="complete",
+        shuffle_partitions=_state_parts(sf_dir),
     )
     # Absent buckets (register 0) folded in arithmetically — no spine
     # join (which would also self-join the memory-sink relation).
@@ -551,6 +565,7 @@ def stream_cms_heavy_hitters(spark, sf_dir):
         sk.select("r", "bucket", F.col("count").cast("long").alias("n")),
         f"stream_cms_{next(_sink_counter)}",
         output_mode="complete",
+        shuffle_partitions=_state_parts(sf_dir),
     )
     e = spread(load_table(spark, sf_dir, "events"))
     return cms_finish(e, out)
@@ -660,7 +675,10 @@ def stream_bloom_purchaser_filter(spark, sf_dir):
         ).alias("w")
     )
     out = run_available_now(
-        words, f"stream_sbf_{next(_sink_counter)}", output_mode="complete"
+        words,
+        f"stream_sbf_{next(_sink_counter)}",
+        output_mode="complete",
+        shuffle_partitions=_state_parts(sf_dir),
     )
     packed = out.agg(
         F.map_from_entries(F.collect_list(F.struct("word_idx", "w"))).alias("bf")
@@ -779,8 +797,7 @@ def stream_session_conversion_daily(spark, sf_dir):
     # fix — the repartition previously here was inert; see
     # stream_sharded_distinct_users).  Floor 32 = the session default the
     # bench budget was measured with.
-    size_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
-    state_partitions = max(32, min(512, size_bytes // (4 << 20)))
+    state_partitions = _state_parts(sf_dir)
     sess = (
         src.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
         .agg(F.max("is_p").alias("converted"))

@@ -54,7 +54,13 @@ def main() -> None:
         f"Queries audited: {len(rows)} at `{SF}`.  Total hazards: "
         f"**{hazards_total}**.  (Hard guards — no CartesianProduct, no "
         "BatchEvalPython — are separately pinned as test failures in "
-        "tests/test_plans.py.)",
+        "tests/test_plans.py.)  Counters report PHYSICAL plan truth for "
+        "cached pipelines: explain() prints an InMemoryRelation's build "
+        "subtree once per consumer (and per alias), so repeated cached "
+        "subtrees are deduplicated before counting — a cached build's "
+        "exchanges execute once, at first materialization "
+        "(plans.dedupe_cached_subtrees; pinned by "
+        "tests/test_plans.py::test_cached_subtree_counts_once*).",
         "",
         "| query | shuffles | bcasts | scans | scans w/ pushed filters |"
         " codegen spans | arrow evals | hazards | notes |",

@@ -159,6 +159,9 @@ HEADLINE = [
     "mutual_information_event_dow",
     "gini_spend_by_segment",
     "funnel_time_to_convert_daily",
+    # round-8 additions
+    "dedup_url_canonical",
+    "quality_scorer_linear",
 ]
 
 

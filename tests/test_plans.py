@@ -360,3 +360,68 @@ def test_audit_pruning_hazard_is_per_scan(spark):
     # ...and the multi-scan query stays clean at that same threshold only
     # because each scan is narrow — sanity: per-scan widths are all 4
     assert all(len(s["read_columns"]) == 4 for s in scan_details(multi))
+
+
+def test_cached_subtree_counts_once(spark):
+    """Round-8 verdict item: plans counters must report PHYSICAL truth on
+    cached plans — an InMemoryRelation's build subtree executes once, at
+    first materialization, but explain() prints it under every
+    InMemoryTableScan consumer, so raw substring counts charge its
+    exchanges once per consumer (62 'shuffles' for a plan that runs ~10).
+    Pin: a two-consumer cache_scoped plan reports the same shuffle count
+    as a single consumer."""
+    from dask_expr_rapids_spark.plans import (
+        count_shuffle_exchanges,
+        dedupe_cached_subtrees,
+        plan_of,
+    )
+
+    agg = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cached = agg.persist()
+    try:
+        one = count_shuffle_exchanges(cached)
+        assert one >= 1  # the build's aggregation shuffle
+        two_consumers = cached.union(cached)
+        # raw text DOES repeat the build subtree (the bug being fixed)...
+        raw = plan_of(two_consumers, "simple")
+        assert raw.count("InMemoryRelation") == 2
+        deduped = dedupe_cached_subtrees(raw)
+        assert deduped.count("InMemoryRelation") == 1
+        # ...but the counter reports the physical count
+        assert count_shuffle_exchanges(two_consumers) == one
+    finally:
+        cached.unpersist()
+
+
+def test_cached_subtree_counts_once_with_alias(spark):
+    """Alias-aware dedup: a consumer that renames the cached frame's
+    columns prints the same InMemoryRelation with different output
+    attributes — identity must come from the build subtree, not the
+    header's output list (the graph_triangle_stats inflation: the pair
+    graph consumed as (a,b), (b,c), (ta,tc) tripled its reported
+    shuffles)."""
+    from dask_expr_rapids_spark.plans import count_shuffle_exchanges
+
+    agg = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cached = agg.persist()
+    try:
+        one = count_shuffle_exchanges(cached)
+        renamed = cached.select(
+            F.col("event_type").alias("et"), F.col("n").alias("m")
+        )
+        joined = cached.join(
+            renamed, F.col("event_type") == F.col("et"), "inner"
+        )
+        # the join itself may add exchanges on top of the single build;
+        # the build's shuffle must count once, not per consumer
+        assert count_shuffle_exchanges(joined) <= one + 2
+    finally:
+        cached.unpersist()

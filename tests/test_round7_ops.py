@@ -516,3 +516,50 @@ def test_time_to_convert_matches_python_oracle(spark):
         r = out[day]
         assert r["n_converted"] == len(ds)
         assert r["median_delta_us"] == ds[(len(ds) + 1) // 2 - 1], day
+
+
+def test_grouped_lower_median_selection_path_is_exact(spark):
+    """The round-8 scale rewrite: the histogram-bucketed distributed
+    selection must return BIT-IDENTICAL lower medians to the window
+    formulation (the value at rank (n+1) div 2 of a sorted multiset is
+    tie-order-independent), including on shifted/negative inputs."""
+    from dask_expr_rapids_spark.operators.selection import grouped_lower_median
+    from dask_expr_rapids_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    for df, col in (
+        (e, "value"),
+        (e.select("event_type", (F.col("value") - 100.0).alias("v")), "v"),
+    ):
+        w = {
+            r["event_type"]: r["m"]
+            for r in grouped_lower_median(
+                df, "event_type", col, "m", force="window"
+            ).collect()
+        }
+        s = {
+            r["event_type"]: r["m"]
+            for r in grouped_lower_median(
+                df, "event_type", col, "m", force="selection"
+            ).collect()
+        }
+        assert w == s and len(w) == 5
+
+
+def test_robust_queries_selection_path_matches_oracle(spark, oracle):
+    """Force the scale path through the full robust queries (the bytes
+    gate keeps bench-scale plans on the window form, so the selection
+    form needs its own differential run against the DuckDB oracle)."""
+    from dask_expr_rapids_spark.operators import selection
+
+    from .conftest import SF_DIR as _SF, assert_matches_oracle
+
+    orig = selection.DEFAULT_PATH_B_BYTES
+    selection.DEFAULT_PATH_B_BYTES = 0  # force selection everywhere
+    try:
+        for name in ("robust_outliers_by_type", "robust_anomaly_flags_daily"):
+            q = REGISTRY[name]
+            assert_matches_oracle(q.fn(spark, _SF), oracle, q.sql, name)
+            release_caches()
+    finally:
+        selection.DEFAULT_PATH_B_BYTES = orig
