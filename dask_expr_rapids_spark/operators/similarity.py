@@ -24,6 +24,9 @@ Scale design (100 TB / 1000-executor posture):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve under
+# `from __future__ import annotations` only if `pd` is importable at
+# decoration time (see spark-graft gotchas)
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -265,6 +268,7 @@ def pq_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow_encode: bool = False,
 ) -> list[list[list[int]]]:
     """Deterministic per-subspace Lloyd codebooks:
     ``codebooks[sub][code] = quantized centroid (dim/m ints)``.
@@ -299,7 +303,9 @@ def pq_train(
         for j in range(m)
     ]
     for _ in range(iters):
-        codes = _pq_codes_expr(books, ds)
+        codes = (
+            _pq_codes_arrow(books, ds) if arrow_encode else _pq_codes_expr(books, ds)
+        )
         # the codes projection and the generator live in SEPARATE selects:
         # Spark's ExtractGenerator rewrite of a Project containing a
         # generator re-plans sibling expressions pre-name-resolution,
@@ -332,6 +338,44 @@ def pq_train(
 def _book_lit(book_j: list[list[int]]) -> Column:
     """Codebook of one subspace as a literal array<array<bigint>> column."""
     return F.array(*[F.array(*[F.lit(int(v)).cast("long") for v in c]) for c in book_j])
+
+
+def _pq_codes_arrow(books: list[list[list[int]]], ds: int) -> Column:
+    """Arrow-vectorized twin of :func:`_pq_codes_expr` for large corpora.
+
+    The HOF form evaluates ~m·ksub·ds (=1024 at the defaults) interpreted
+    lambda nodes per row (higher-order functions never enter codegen), so
+    encoding dominates PQ cost once the corpus passes ~100k vectors
+    (ann_pq was the most expensive non-output-bound query of the sf10
+    rehearsal at 49 s).  This path computes the same argmin in one numpy
+    batch per Arrow chunk: distances in int64 (exact — quantized values
+    ≤ ~1e6, ds=8 terms, far under 2^63), ``np.argmin`` returns the FIRST
+    minimum (ties to the lowest code, same rule as
+    ``array_position(d2s, array_min(d2s))``), so the codes are
+    bit-identical to the HOF form — pinned by
+    tests/test_scale_ops.py::test_pq_arrow_encode_matches_hof."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(books)
+    # (m, ksub, ds) int64 codebook tensor, broadcast with the task binary
+    bk = np.asarray(books, dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def _encode(qv: pd.Series) -> pd.Series:
+        x = np.asarray(qv.to_list(), dtype=np.int64)  # (n, m*ds)
+        n = x.shape[0]
+        sub = x.reshape(n, m, ds)  # (n, m, ds)
+        # (n, m, ksub, ds) diffs would be large; loop over m (small) and
+        # vectorize over (n, ksub, ds) — exact int64 arithmetic
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            d = sub[:, j, None, :] - bk[j][None, :, :]  # (n, ksub, ds)
+            d2 = np.einsum("nkd,nkd->nk", d, d)  # int64 exact
+            codes[:, j] = np.argmin(d2, axis=1)  # first min = lowest code
+        return pd.Series(list(codes))
+
+    return _encode(F.col("__qv__"))
 
 
 def _pq_codes_expr(books: list[list[list[int]]], ds: int) -> Column:
@@ -370,6 +414,7 @@ def pq_topk(
     id_col: str = "vec_id",
     probe_id: str = "qid",
     vec_col: str = "embedding",
+    arrow_encode: bool = False,
 ) -> DataFrame:
     """ADC cosine top-k with exact re-ranking: train codebooks, encode the
     corpus to m codes (+ a reconstructed-norm column), build per-probe
@@ -386,14 +431,24 @@ def pq_topk(
     semi-join-sized fetch from the full-vector store, never a scan.  No
     corpus shuffle anywhere.  ``rerank=0`` returns raw ADC scores.
     """
-    books = pq_train(corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
+    books = pq_train(
+        corpus,
+        m=m,
+        ksub=ksub,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        arrow_encode=arrow_encode,
+    )
     ds = len(books[0][0])
     q = corpus.select(F.col(id_col), quantize(F.col(vec_col)).alias("__qv__"))
     # reconstructed squared norm = sum of codebook-entry norms (exact ints)
     cn2 = [[sum(v * v for v in books[j][c]) for c in range(len(books[0]))] for j in range(m)]
     enc = q.select(
         F.col(id_col),
-        _pq_codes_expr(books, ds).alias("__codes__"),
+        (
+            _pq_codes_arrow(books, ds) if arrow_encode else _pq_codes_expr(books, ds)
+        ).alias("__codes__"),
     ).withColumn(
         "__rn2__",
         sum(

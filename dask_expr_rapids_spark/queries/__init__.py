@@ -53,9 +53,11 @@ from . import window  # noqa: E402,F401
 #
 # ROUND-9 ROTATION PLAN (edit this list at the START of round 9): lead
 # with every query registered during round 8 (never driver-verified —
-# as of this comment: dedup_url_canonical, quality_scorer_linear, plus
-# anything registered later in round 8), then back-fill with the oldest
-# remaining r5-window queries in
+# as of this comment: dedup_url_canonical, quality_scorer_linear,
+# scorer_calibration_deciles, cdc_apply_orders,
+# attribution_last_click_daily, schema_evolution_roundtrip, plus
+# anything registered later in
+# round 8), then back-fill with the oldest remaining r5-window queries in
 # registration order (ann_bruteforce/ivf/lsh_cosine_topk,
 # dataset_split_assign, decontaminate_train_eval, dedup_exact_clusters/
 # summary, dedup_neardup_minhash_lsh, dedup_minhash_components/survivors,

@@ -323,13 +323,24 @@ _PQ_SQL = f"""
 
 @register("ann_pq_cosine_topk", _PQ_SQL)
 def ann_pq_cosine_topk(spark, sf_dir):
+    import os as _os
+
     from ..operators.similarity import pq_topk
 
     e = spread(load_table(spark, sf_dir, "embeddings"))
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    out = pq_topk(e, probes, k=5, m=8, ksub=16, iters=2, rerank=8)
+    # encode path: interpreted HOFs are fine below ~100k vectors; above,
+    # the ~1024 lambda-node-per-row cost dominates, and the Arrow twin
+    # computes bit-identical codes vectorized.  Measured same-mode
+    # (merge-run, cold JVM, median of 3): sf10 49 -> 21 s (-57%,
+    # decisive); sf1 statistically indistinguishable (consecutive runs
+    # 16.2 Arrow / 18.1 HOF / 20.0 Arrow — python-worker fan-up eats the
+    # win at 20k vectors and run-to-run drift swamps the rest).  Gate at
+    # 8 MB keeps driver/bench-scale plans pure-JVM (sf0.1 = 2 MB)
+    arrow = _os.path.getsize(_os.path.join(sf_dir, "embeddings.parquet")) > (8 << 20)
+    out = pq_topk(e, probes, k=5, m=8, ksub=16, iters=2, rerank=8, arrow_encode=arrow)
     w = W.partitionBy("qid").orderBy(F.desc("pq_cosine"), F.asc("vec_id"))
     return out.select(
         "qid", "vec_id", F.row_number().over(w).alias("rank"),

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.exact import dec_to_double, pround, pround_expr
+from ..functions.exact import dec2dbl_expr, dec_to_double, pround, pround_expr
 from ..sources.tables import load_table, spread
 from .registry import register
 
@@ -268,10 +268,17 @@ _QS_MODEL_SQL = """
       FROM feats WHERE is_train = 1
     ),
     w AS (
+      -- + 0.001·n ridge on the diagonal: a constant (zero-variance)
+      -- feature otherwise zeroes the determinant (hit at the sf1
+      -- rehearsal, whose digit-suffixed vocabulary contains no bare
+      -- stopwords).  Scale-free (lambda fixed in original units; the
+      -- n-scaled system multiplies X'X by n) and negligible for any
+      -- non-degenerate feature; the numpy differential solves the SAME
+      -- ridge system, so agreement stays exact.
       SELECT
-        ((n * s11) - (s1 * s1)) AS c11,
+        (((n * s11) - (s1 * s1)) + (0.001 * n)) AS c11,
         ((n * s12) - (s1 * s2)) AS c12,
-        ((n * s22) - (s2 * s2)) AS c22,
+        (((n * s22) - (s2 * s2)) + (0.001 * n)) AS c22,
         ((n * s1y) - (s1 * sy)) AS c1y,
         ((n * s2y) - (s2 * sy)) AS c2y,
         n, s1, s2, sy
@@ -296,6 +303,106 @@ def _qs_moment_sql(expr: str) -> str:
     from ..functions.exact import dec2dbl_expr
 
     return dec2dbl_expr(f"SUM(CAST(({expr}) AS DECIMAL(38,0)))", 0)
+
+
+def _qs_feats(spark, sf_dir):
+    """(doc_id, source, x1, x2, y, is_train) integer feature frame."""
+    d = spread(load_table(spark, sf_dir, "documents")).filter(F.trim("text") != "")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    words = F.split(norm, " ")
+    nstop = F.size(F.filter(words, lambda w: w.isin("a", "the")))
+    feats = d.select(
+        "doc_id",
+        "source",
+        (F.lit(1000) * F.length(norm)).alias("__numc__"),
+        F.size(words).alias("__nw__"),
+        (F.lit(1000) * nstop).alias("__nums__"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("y"),
+        F.when(F.pmod("doc_id", F.lit(10)) < 8, 1).otherwise(0).alias("is_train"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("__numc__ DIV __nw__").alias("x1"),
+        F.expr("__nums__ DIV __nw__").alias("x2"),
+        "y",
+        "is_train",
+    )
+    from .registry import cache_scoped
+
+    return cache_scoped(feats)
+
+
+def _qs_scored(feats):
+    """Per-doc integer micro scores against the trained broadcast model:
+    (doc_id, source, is_train, y, score_micro, w0, w1, w2)."""
+    DEC = "decimal(38,0)"
+    train = feats.filter(F.col("is_train") == 1)
+    m = train.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec_to_double(F.sum(F.col("x1").cast(DEC)), 0).alias("s1"),
+        dec_to_double(F.sum(F.col("x2").cast(DEC)), 0).alias("s2"),
+        dec_to_double(F.sum((F.col("x1") * F.col("x1")).cast(DEC)), 0).alias("s11"),
+        dec_to_double(F.sum((F.col("x1") * F.col("x2")).cast(DEC)), 0).alias("s12"),
+        dec_to_double(F.sum((F.col("x2") * F.col("x2")).cast(DEC)), 0).alias("s22"),
+        dec_to_double(F.sum(F.col("y").cast(DEC)), 0).alias("sy"),
+        dec_to_double(F.sum((F.col("x1") * F.col("y")).cast(DEC)), 0).alias("s1y"),
+        dec_to_double(F.sum((F.col("x2") * F.col("y")).cast(DEC)), 0).alias("s2y"),
+    )
+    # ridge diagonal (see the SQL twin's comment): identical expression
+    # order in both engines keeps the weights bit-equal
+    c = m.select(
+        (
+            ((F.col("n") * F.col("s11")) - (F.col("s1") * F.col("s1")))
+            + (F.lit(0.001) * F.col("n"))
+        ).alias("c11"),
+        ((F.col("n") * F.col("s12")) - (F.col("s1") * F.col("s2"))).alias("c12"),
+        (
+            ((F.col("n") * F.col("s22")) - (F.col("s2") * F.col("s2")))
+            + (F.lit(0.001) * F.col("n"))
+        ).alias("c22"),
+        ((F.col("n") * F.col("s1y")) - (F.col("s1") * F.col("sy"))).alias("c1y"),
+        ((F.col("n") * F.col("s2y")) - (F.col("s2") * F.col("sy"))).alias("c2y"),
+        "n",
+        "s1",
+        "s2",
+        "sy",
+    )
+    det = (F.col("c11") * F.col("c22")) - (F.col("c12") * F.col("c12"))
+    model = c.select(
+        (((F.col("c1y") * F.col("c22")) - (F.col("c2y") * F.col("c12"))) / det).alias(
+            "w1"
+        ),
+        (((F.col("c2y") * F.col("c11")) - (F.col("c1y") * F.col("c12"))) / det).alias(
+            "w2"
+        ),
+        "n",
+        "s1",
+        "s2",
+        "sy",
+    ).select(
+        "w1",
+        "w2",
+        (
+            ((F.col("sy") - (F.col("w1") * F.col("s1"))) - (F.col("w2") * F.col("s2")))
+            / F.col("n")
+        ).alias("w0"),
+    )
+    return feats.crossJoin(F.broadcast(model)).select(
+        "doc_id",
+        "source",
+        "is_train",
+        "y",
+        F.floor(
+            (F.col("w0") + (F.col("w1") * F.col("x1")) + (F.col("w2") * F.col("x2")))
+            * 1_000_000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("score_micro"),
+        "w0",
+        "w1",
+        "w2",
+    )
 
 
 @register(
@@ -331,87 +438,7 @@ def quality_scorer_linear(spark, sf_dir):
     """Closed-form OLS quality scorer: train on the 80% slice, score all
     docs map-side against the broadcast one-row model, roll up per
     source (plus the learned weights, hash-pinned as nano-unit ints)."""
-    d = spread(load_table(spark, sf_dir, "documents")).filter(F.trim("text") != "")
-    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
-    words = F.split(norm, " ")
-    nstop = F.size(F.filter(words, lambda w: w.isin("a", "the")))
-    feats = d.select(
-        "doc_id",
-        "source",
-        (F.lit(1000) * F.length(norm)).alias("__numc__"),
-        F.size(words).alias("__nw__"),
-        (F.lit(1000) * nstop).alias("__nums__"),
-        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("y"),
-        F.when(F.pmod("doc_id", F.lit(10)) < 8, 1).otherwise(0).alias("is_train"),
-    ).select(
-        "doc_id",
-        "source",
-        F.expr("__numc__ DIV __nw__").alias("x1"),
-        F.expr("__nums__ DIV __nw__").alias("x2"),
-        "y",
-        "is_train",
-    )
-    from .registry import cache_scoped
-
-    feats = cache_scoped(feats)
-    DEC = "decimal(38,0)"
-    train = feats.filter(F.col("is_train") == 1)
-    m = train.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        dec_to_double(F.sum(F.col("x1").cast(DEC)), 0).alias("s1"),
-        dec_to_double(F.sum(F.col("x2").cast(DEC)), 0).alias("s2"),
-        dec_to_double(F.sum((F.col("x1") * F.col("x1")).cast(DEC)), 0).alias("s11"),
-        dec_to_double(F.sum((F.col("x1") * F.col("x2")).cast(DEC)), 0).alias("s12"),
-        dec_to_double(F.sum((F.col("x2") * F.col("x2")).cast(DEC)), 0).alias("s22"),
-        dec_to_double(F.sum(F.col("y").cast(DEC)), 0).alias("sy"),
-        dec_to_double(F.sum((F.col("x1") * F.col("y")).cast(DEC)), 0).alias("s1y"),
-        dec_to_double(F.sum((F.col("x2") * F.col("y")).cast(DEC)), 0).alias("s2y"),
-    )
-    c = m.select(
-        ((F.col("n") * F.col("s11")) - (F.col("s1") * F.col("s1"))).alias("c11"),
-        ((F.col("n") * F.col("s12")) - (F.col("s1") * F.col("s2"))).alias("c12"),
-        ((F.col("n") * F.col("s22")) - (F.col("s2") * F.col("s2"))).alias("c22"),
-        ((F.col("n") * F.col("s1y")) - (F.col("s1") * F.col("sy"))).alias("c1y"),
-        ((F.col("n") * F.col("s2y")) - (F.col("s2") * F.col("sy"))).alias("c2y"),
-        "n",
-        "s1",
-        "s2",
-        "sy",
-    )
-    det = (F.col("c11") * F.col("c22")) - (F.col("c12") * F.col("c12"))
-    model = c.select(
-        (((F.col("c1y") * F.col("c22")) - (F.col("c2y") * F.col("c12"))) / det).alias(
-            "w1"
-        ),
-        (((F.col("c2y") * F.col("c11")) - (F.col("c1y") * F.col("c12"))) / det).alias(
-            "w2"
-        ),
-        "n",
-        "s1",
-        "s2",
-        "sy",
-    ).select(
-        "w1",
-        "w2",
-        (
-            ((F.col("sy") - (F.col("w1") * F.col("s1"))) - (F.col("w2") * F.col("s2")))
-            / F.col("n")
-        ).alias("w0"),
-    )
-    scored = feats.crossJoin(F.broadcast(model)).select(
-        "source",
-        "is_train",
-        F.floor(
-            (F.col("w0") + (F.col("w1") * F.col("x1")) + (F.col("w2") * F.col("x2")))
-            * 1_000_000.0
-            + 0.5
-        )
-        .cast("long")
-        .alias("score_micro"),
-        "w0",
-        "w1",
-        "w2",
-    )
+    scored = _qs_scored(_qs_feats(spark, sf_dir))
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("score_micro").cast("long").alias("sum_score_micro"),
@@ -424,4 +451,367 @@ def quality_scorer_linear(spark, sf_dir):
         F.floor(F.min("w0") * 1_000_000_000.0 + 0.5).cast("long").alias("w0_nano"),
         F.floor(F.min("w1") * 1_000_000_000.0 + 0.5).cast("long").alias("w1_nano"),
         F.floor(F.min("w2") * 1_000_000_000.0 + 0.5).cast("long").alias("w2_nano"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scorer calibration on the HOLDOUT: decile the held-out docs by model
+# score and report the actual label rate per decile — the standard
+# calibration curve that tells a curation pipeline whether "score 0.8"
+# means 80%.  Computed ONLY on the 20% slice the model never trained on.
+#
+# Scale shape: deciles are VALUE-BINNED — each distinct score lands
+# wholly in one decile, assigned from the cumulative row count of the
+# (score → n, n_pos) aggregate.  That aggregate is map-side combinable
+# and its cardinality is bounded by the FEATURE GRID (distinct (x1, x2)
+# pairs — thousands), not by corpus rows, so the one ordering window
+# runs over a tiny relation; a row-level NTILE would instead sort the
+# whole holdout on one task (the no-partition-window trap).  Bins can be
+# mildly uneven when a heavy score value straddles a boundary — inherent
+# to value-binned quantiles, and irrelevant to calibration reading.
+#
+# Determinism: integer counts, integer-DIV rates, and a cumulative sum
+# over a unique total order (score_micro) — engine-free.
+# --------------------------------------------------------------------------
+@register(
+    "scorer_calibration_deciles",
+    f"""
+    WITH {_QS_FEAT_SQL},
+    {_QS_MODEL_SQL.format(
+        S1=_qs_moment_sql('x1'), S2=_qs_moment_sql('x2'),
+        S11=_qs_moment_sql('x1 * x1'), S12=_qs_moment_sql('x1 * x2'),
+        S22=_qs_moment_sql('x2 * x2'), Sy=_qs_moment_sql('y'),
+        S1y=_qs_moment_sql('x1 * y'), S2y=_qs_moment_sql('x2 * y'))},
+    scored AS (
+      SELECT f.doc_id, f.y,
+             CAST(floor((m.w0 + (m.w1 * f.x1) + (m.w2 * f.x2)) * 1000000.0
+                        + 0.5) AS BIGINT) AS score_micro
+      FROM feats f, model2 m
+      WHERE f.is_train = 0
+    ),
+    vc AS (
+      SELECT score_micro, COUNT(*) AS c, SUM(y) AS cp
+      FROM scored GROUP BY score_micro
+    ),
+    cum AS (
+      SELECT score_micro, c, cp,
+             SUM(c) OVER (ORDER BY score_micro) AS cum,
+             SUM(c) OVER () AS total
+      FROM vc
+    )
+    SELECT CAST(((cum - 1) * 10) // total + 1 AS BIGINT) AS decile,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(cp) AS BIGINT) AS n_pos,
+           CAST((SUM(cp) * 1000000) // SUM(c) AS BIGINT) AS pos_rate_micro,
+           CAST(MIN(score_micro) AS BIGINT) AS min_score_micro,
+           CAST(MAX(score_micro) AS BIGINT) AS max_score_micro
+    FROM cum GROUP BY 1
+    """,
+)
+def scorer_calibration_deciles(spark, sf_dir):
+    """Calibration curve of the learned quality scorer on the 20%
+    holdout: value-binned score deciles vs observed label rate (see the
+    block comment for the scale rationale)."""
+    from pyspark.sql import Window as W
+
+    scored = _qs_scored(_qs_feats(spark, sf_dir)).filter(F.col("is_train") == 0)
+    vc = scored.groupBy("score_micro").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("cp")
+    )
+    w = W.orderBy("score_micro").rowsBetween(W.unboundedPreceding, 0)
+    wt = W.partitionBy()
+    cum = vc.select(
+        "score_micro",
+        "c",
+        "cp",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("total"),
+    )
+    binned = cum.select(
+        "score_micro",
+        "c",
+        "cp",
+        F.expr("((cum - 1) * 10) DIV total + 1").cast("long").alias("decile"),
+    )
+    return binned.groupBy("decile").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("cp").cast("long").alias("n_pos"),
+        F.expr("CAST((SUM(cp) * 1000000) DIV SUM(c) AS BIGINT)").alias(
+            "pos_rate_micro"
+        ),
+        F.min("score_micro").cast("long").alias("min_score_micro"),
+        F.max("score_micro").cast("long").alias("max_score_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC latest-wins apply — the Debezium/OGG-shaped change-feed
+# materialization a lakehouse ingests continuously: a stream of
+# (key, seq, op I/U/D, payload) rows collapses to the CURRENT state by
+# keeping each key's highest-sequence row and dropping keys whose final
+# op is a delete.  Complements MERGE (one batch vs a base table) and
+# SCD2 (history retention): this is the "replica table" materializer.
+#
+# The change feed is DERIVED deterministically from orders (no CDC
+# column in the testdata): every key inserts at seq 1; keys %5==0
+# update at seq 2 (+100); keys %15==0 update again at seq 3 (+200);
+# keys %7==0 delete at seq 4.  Both engines build the identical feed,
+# so the oracle hash-checks feed construction AND apply semantics.
+#
+# Scale shape: the feed is ONE scan (per-row conditional struct array →
+# explode — no 4× self-union scans); latest-wins is one hash shuffle on
+# the key + row_number over (key, seq DESC); the rollup reuses nothing
+# heavier.  Money sums in cents as DECIMAL(38,0) → modulo-split double.
+# --------------------------------------------------------------------------
+@register(
+    "cdc_apply_orders",
+    f"""
+    WITH feed AS (
+      SELECT o_orderkey AS k, c.seq AS seq, c.op AS op, c.price AS price
+      FROM orders, LATERAL (
+        SELECT unnest(list_filter([
+          {{'seq': 1, 'op': 'I', 'price': o_totalprice}},
+          CASE WHEN o_orderkey % 5 = 0 THEN
+            {{'seq': 2, 'op': 'U', 'price': o_totalprice + 100.0}} END,
+          CASE WHEN o_orderkey % 15 = 0 THEN
+            {{'seq': 3, 'op': 'U', 'price': o_totalprice + 200.0}} END,
+          CASE WHEN o_orderkey % 7 = 0 THEN
+            {{'seq': 4, 'op': 'D', 'price': NULL}} END
+        ], x -> x IS NOT NULL)) AS c
+      ) t
+    ),
+    latest AS (
+      SELECT k, seq, op, price FROM (
+        SELECT k, seq, op, price,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM feed) f
+      WHERE rn = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_live,
+           CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted,
+           CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_live_updated,
+           {dec2dbl_expr(
+               "SUM(CASE WHEN op <> 'D' THEN "
+               "CAST(round(price * 100, 0) AS DECIMAL(38,0)) "
+               "ELSE CAST(0 AS DECIMAL(38,0)) END)", 2)} AS sum_live_price
+    FROM latest
+    """,
+)
+def cdc_apply_orders(spark, sf_dir):
+    """Materialize the current state of a CDC change feed (latest seq
+    wins, delete drops the key); report live/deleted/updated counts and
+    the exact live money total."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ev = lambda seq, op, price: F.struct(  # noqa: E731
+        F.lit(seq).alias("seq"), F.lit(op).alias("op"), price.alias("price")
+    )
+    null_ev = F.lit(None).cast("struct<seq:int,op:string,price:double>")
+    changes = F.array_compact(
+        F.array(
+            ev(1, "I", F.col("o_totalprice")),
+            F.when(F.col("o_orderkey") % 5 == 0, ev(2, "U", F.col("o_totalprice") + 100.0)).otherwise(null_ev),
+            F.when(F.col("o_orderkey") % 15 == 0, ev(3, "U", F.col("o_totalprice") + 200.0)).otherwise(null_ev),
+            F.when(F.col("o_orderkey") % 7 == 0, ev(4, "D", F.lit(None).cast("double"))).otherwise(null_ev),
+        )
+    )
+    # generator in its OWN select (the ExtractGenerator struct-name trap)
+    feed = (
+        o.select(F.col("o_orderkey").alias("k"), changes.alias("__cs__"))
+        .select("k", F.explode("__cs__").alias("c"))
+        .select("k", F.col("c.seq").alias("seq"), F.col("c.op").alias("op"), F.col("c.price").alias("price"))
+    )
+    w = W.partitionBy("k").orderBy(F.desc("seq"))
+    latest = (
+        feed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    cents = F.round(F.col("price") * 100, 0).cast("decimal(38,0)")
+    return latest.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).cast("long").alias("n_live"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).cast("long").alias("n_deleted"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).cast("long").alias("n_live_updated"),
+        dec_to_double(
+            F.sum(
+                F.when(F.col("op") != "D", cents).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ),
+            2,
+        ).alias("sum_live_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution — the marketing-analytics join every event
+# pipeline ends up needing: attribute each purchase to the user's most
+# recent click within a 1-hour lookback, then roll attribution up by
+# purchase day.  Built with the engine's single-shuffle as-of pattern
+# (union clicks + purchases, one per-user ordered window carrying the
+# last click timestamp forward) — NOT a range join, whose candidate set
+# is purchases × clicks-in-window.
+#
+# Determinism: the union orders by (ts_us, kind) with clicks BEFORE a
+# same-instant purchase (a click at the purchase instant attributes);
+# the carried value is the click timestamp itself, so same-ts click
+# ties cannot diverge.  Money/lag sums are quantized-integer decimals.
+# --------------------------------------------------------------------------
+_ATTR_LOOKBACK_US = 3_600_000_000
+
+
+@register(
+    "attribution_last_click_daily",
+    f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+             CASE WHEN event_type = 'click'
+                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END AS click_us,
+             value
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    carried AS (
+      SELECT user_id, ts_us, kind, value,
+             MAX(click_us) OVER (PARTITION BY user_id ORDER BY ts_us, kind
+                                 ROWS UNBOUNDED PRECEDING) AS last_click_us
+      FROM ev
+    ),
+    purchases AS (
+      SELECT ts_us, value,
+             CASE WHEN last_click_us IS NOT NULL
+                   AND ts_us - last_click_us <= {_ATTR_LOOKBACK_US}
+                  THEN 1 ELSE 0 END AS attributed,
+             CASE WHEN last_click_us IS NOT NULL
+                   AND ts_us - last_click_us <= {_ATTR_LOOKBACK_US}
+                  THEN ts_us - last_click_us END AS lag_us
+      FROM carried WHERE kind = 1
+    )
+    SELECT strftime(CAST(make_timestamp(ts_us) AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(attributed) AS BIGINT) AS n_attributed,
+           CAST(SUM(CASE WHEN attributed = 1
+                         THEN CAST(round(value * 1000000, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS attributed_value_micro,
+           CAST(SUM(COALESCE(lag_us, 0)) AS BIGINT) AS lag_us_sum
+    FROM purchases GROUP BY 1
+    """,
+)
+def attribution_last_click_daily(spark, sf_dir):
+    """Per-day purchase attribution to the last click within 1 hour
+    (single-shuffle as-of carry); counts, attributed money, lag sum."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ev = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+        F.when(
+            F.col("event_type") == "click",
+            F.unix_micros(F.col("ts").cast("timestamp")),
+        ).alias("click_us"),
+        "value",
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "kind").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    carried = ev.select(
+        "ts_us", "kind", "value", F.max("click_us").over(w).alias("last_click_us")
+    )
+    attributed = F.when(
+        F.col("last_click_us").isNotNull()
+        & (F.col("ts_us") - F.col("last_click_us") <= _ATTR_LOOKBACK_US),
+        1,
+    ).otherwise(0)
+    lag = F.when(attributed == 1, F.col("ts_us") - F.col("last_click_us"))
+    p = carried.filter(F.col("kind") == 1).select(
+        "ts_us",
+        "value",
+        attributed.alias("attributed"),
+        lag.alias("lag_us"),
+    )
+    return p.groupBy(
+        F.date_format(F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("attributed").cast("long").alias("n_attributed"),
+        F.sum(
+            F.when(
+                F.col("attributed") == 1,
+                F.round(F.col("value") * 1_000_000, 0).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("attributed_value_micro"),
+        F.sum(F.coalesce(F.col("lag_us"), F.lit(0))).cast("long").alias("lag_us_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Parquet schema-evolution roundtrip — the source-level capability every
+# long-lived lakehouse table needs: batch 2 ships a column batch 1
+# doesn't have, and a ``mergeSchema`` read must union the files with
+# NULL backfill (the Delta/Iceberg "add column" path, expressed on raw
+# parquet).  The oracle reproduces the same split + backfill relationally
+# from the original table, so the hash proves write→evolve→read fidelity
+# (row counts, money totals, NULL placement), not just schema shape.
+#
+# Scale note: mergeSchema=true footer-merges ALL file schemas at
+# planning time — fine for a handful of schema generations (the real
+# pattern), not for per-file drift; production pins the merged schema in
+# a catalog.  Stated here because the 100 TB cost is PLANNING-side.
+# --------------------------------------------------------------------------
+@register(
+    "schema_evolution_roundtrip",
+    """
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_legacy_rows,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM unioned
+    """,
+)
+def schema_evolution_roundtrip(spark, sf_dir):
+    """Write two parquet batches with EVOLVED schemas (batch 2 adds
+    o_orderpriority), read them back with mergeSchema, and aggregate —
+    proving NULL backfill and value fidelity against the relational
+    oracle."""
+    from ..scratch import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    base = scratch_dir("spark_graft_evolve_")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(base + "/gen=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(base + "/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_legacy_rows"),
+        F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("sum_price_cents"),
     )

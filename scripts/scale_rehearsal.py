@@ -162,6 +162,10 @@ HEADLINE = [
     # round-8 additions
     "dedup_url_canonical",
     "quality_scorer_linear",
+    "scorer_calibration_deciles",
+    "cdc_apply_orders",
+    "attribution_last_click_daily",
+    "schema_evolution_roundtrip",
 ]
 
 

