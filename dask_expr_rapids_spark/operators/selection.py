@@ -66,7 +66,18 @@ def _window_lower_median(df: DataFrame, group: str, col: str, out: str) -> DataF
 
 
 def _selection_lower_median(df: DataFrame, group: str, col: str, out: str) -> DataFrame:
-    b = F.floor(F.col(col) * _BUCKETS_PER_UNIT).cast("long")
+    # NULL/NaN contract must MATCH the window form (round-8 review fix):
+    # Spark's ascending sort puts NULL first and NaN last, so NULL maps
+    # to the NULL bucket (window cum-sum orders nulls first by default;
+    # the bucket join below is null-safe) and NaN to a +inf sentinel
+    # bucket.  A majority-NULL group then yields a NULL median from
+    # either path instead of vanishing from the selection output.
+    dtype = dict(df.dtypes)[col]
+    raw = F.floor(F.col(col) * _BUCKETS_PER_UNIT).cast("long")
+    if dtype in ("double", "float"):
+        b = F.when(F.isnan(F.col(col)), F.lit(1 << 62)).otherwise(raw)
+    else:
+        b = raw
     src = df.select(F.col(group), F.col(col), b.alias("__b__"))
     hist = src.groupBy(group, "__b__").agg(F.count(F.lit(1)).alias("__c__"))
     wcum = W.partitionBy(group).orderBy("__b__")
@@ -88,7 +99,9 @@ def _selection_lower_median(df: DataFrame, group: str, col: str, out: str) -> Da
     )
     # rows of the median bucket only; heavy-hitter values collapse in the
     # per-value aggregate instead of landing on one sort task
-    inb = src.join(F.broadcast(mb), [group]).filter(F.col("__b__") == F.col("__mb__"))
+    inb = src.join(F.broadcast(mb), [group]).filter(
+        F.col("__b__").eqNullSafe(F.col("__mb__"))
+    )
     vc = inb.groupBy(group, col, "__below__", "__k__").agg(
         F.count(F.lit(1)).alias("__vc__")
     )

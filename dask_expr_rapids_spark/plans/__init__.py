@@ -78,6 +78,24 @@ def dedupe_cached_subtrees(plan: str) -> str:
     the shared ``cachedPlan`` object, textually identical modulo ids.
     Duplicates are dropped; the first occurrence keeps the build subtree
     so its exchanges count exactly once."""
+    def block_key(block: list[str]) -> str:
+        head = _TREE_PREFIX_RE.sub("", block[0])
+        head = re.sub(r"\[[^\]]*\]", "[out]", head, count=1)
+        return re.sub(
+            r"#\d+",
+            "#x",
+            "\n".join([head] + [_TREE_PREFIX_RE.sub("", l) for l in block[1:]]),
+        )
+
+    def extract_block(lines: list[str], i: int) -> list[str]:
+        depth = _tree_depth(lines[i])
+        block = [lines[i]]
+        j = i + 1
+        while j < len(lines) and lines[j].strip() and _tree_depth(lines[j]) > depth:
+            block.append(lines[j])
+            j += 1
+        return block
+
     lines = plan.splitlines()
     out: list[str] = []
     seen: set[str] = set()
@@ -85,23 +103,25 @@ def dedupe_cached_subtrees(plan: str) -> str:
     while i < len(lines):
         line = lines[i]
         if "InMemoryRelation" in line:
-            depth = _tree_depth(line)
-            j = i + 1
-            block = [line]
-            while j < len(lines) and lines[j].strip() and _tree_depth(lines[j]) > depth:
-                block.append(lines[j])
-                j += 1
-            head = _TREE_PREFIX_RE.sub("", block[0])
-            head = re.sub(r"\[[^\]]*\]", "[out]", head, count=1)
-            key = re.sub(
-                r"#\d+",
-                "#x",
-                "\n".join([head] + [_TREE_PREFIX_RE.sub("", l) for l in block[1:]]),
-            )
+            block = extract_block(lines, i)
+            key = block_key(block)
             if key not in seen:
                 seen.add(key)
+                # a NESTED cache (B built on cached A) prints A's build
+                # inside B's block — register every inner relation's key
+                # too, or A's standalone occurrence under another
+                # consumer would still be kept and its build exchanges
+                # counted twice
+                k = 1
+                while k < len(block):
+                    if "InMemoryRelation" in block[k]:
+                        inner = extract_block(block, k)
+                        seen.add(block_key(inner))
+                        k += len(inner)
+                    else:
+                        k += 1
                 out.extend(block)
-            i = j
+            i += len(block)
             continue
         out.append(line)
         i += 1
@@ -275,18 +295,17 @@ def audit(df: DataFrame, wide_scan_threshold: int = 12) -> dict:
     if has_python_row_udf(df):
         hazards.append("python_row_udf")
     scans = scan_details(df)
-    if "InMemoryRelation" in plan:
-        # cached build subtrees print once per consumer — collapse the
-        # textually identical repeated scans so parquet_scans reports
-        # physical scans, matching the deduplicated exchange counters
-        uniq: list[dict] = []
-        seen_scan: set[str] = set()
-        for s in scans:
-            key = repr(s)
-            if key not in seen_scan:
-                seen_scan.add(key)
-                uniq.append(s)
-        scans = uniq
+    # physical scan count from the cache-deduplicated SIMPLE tree: the
+    # formatted detail sections repeat a cached build's scan once per
+    # consumer (inflation), while dict-identity dedup over the details
+    # would ALSO collapse two genuinely distinct scans of the same table
+    # with identical projections (over-correction — round-8 review
+    # finding).  The simple tree keeps real repeated branches as
+    # separate FileScan nodes and the dedup drops only reprinted cached
+    # subtrees, so its count is the physical truth for both shapes.
+    n_parquet_scans = dedupe_cached_subtrees(plan_of(df, "simple")).count(
+        "FileScan parquet"
+    )
     if any(
         len(s["read_columns"]) >= wide_scan_threshold and not s["pushed_filters"]
         for s in scans
@@ -297,7 +316,7 @@ def audit(df: DataFrame, wide_scan_threshold: int = 12) -> dict:
         "stats": {
             "shuffle_exchanges": count_shuffle_exchanges(df),
             "broadcast_exchanges": count_broadcast_exchanges(df),
-            "parquet_scans": sum(1 for s in scans if "parquet" in s["source"]),
+            "parquet_scans": n_parquet_scans,
             "scans": scans,
             "pushed_filters": [p for s in scans for p in s["pushed_filters"]],
             "read_columns": sorted({c for s in scans for c in s["read_columns"]}),

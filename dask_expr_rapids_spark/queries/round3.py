@@ -96,7 +96,7 @@ def stream_dedup_event_keys(spark, sf_dir):
     keys = stream.select("user_id", "event_type", "ts")
     deduped = stream_dedup(keys, ["user_id", "event_type"], watermark="36500 days")
     sink = f"stream_dedup_keys_{next(_sink_counter)}"
-    from .streaming import _state_parts
+    from .streaming import events_state_parts as _state_parts
 
     out = run_available_now(
         deduped, sink, output_mode="append", shuffle_partitions=_state_parts(sf_dir)

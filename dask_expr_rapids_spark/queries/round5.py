@@ -504,7 +504,7 @@ def stream_join_click_purchase(spark, sf_dir):
         clicks, purchases, key="user_id", lookback="1 hour", watermark="36500 days"
     )
     sink = f"stream_join_cp_{next(_sink_counter)}"
-    from .streaming import _state_parts
+    from .streaming import events_state_parts as _state_parts
 
     out = run_available_now(
         joined, sink, output_mode="append", shuffle_partitions=_state_parts(sf_dir)

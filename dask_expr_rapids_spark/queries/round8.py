@@ -98,7 +98,7 @@ _URL_BUILD_SQL = """
                  lower(split_part(hostpath, '/', 1)), ':(80|443)$', ''),
                  '^www\\.', '') AS host,
              regexp_replace(regexp_replace(regexp_replace(
-                 hostpath, '^[^/]*', ''), '//+', '/'), '/$', '') AS path,
+                 hostpath, '^[^/]*', ''), '//+', '/', 'g'), '/$', '') AS path,
              array_to_string(list_sort(list_filter(string_split(query, '&'),
                  p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}'))),
                  '&') AS q
@@ -305,31 +305,57 @@ def _qs_moment_sql(expr: str) -> str:
     return dec2dbl_expr(f"SUM(CAST(({expr}) AS DECIMAL(38,0)))", 0)
 
 
+#: both milli features packed into ONE bigint (x1 * 2^31 + x2, x1 < 2^32
+#: for docs up to ~4M chars, x2 <= 1000): the normalize regex and the
+#: split are let-bound (multimodal.py's element_at(transform(array(..)))
+#: trick) and evaluated ONCE per row during the cache fill — three
+#: independent feature expressions would re-run the regex 3x and the
+#: split 2x on the interpreted HOF path (round-8 review finding)
+#: Binding the WORDS array once and deriving the normalized length from
+#: it (sum of token lengths + (n-1) separators - exact, norm is
+#: single-spaced) keeps one regex + one split per row.  ESCAPE TRAP
+#: (cost a debugging session): inside F.expr/SQL string literals Spark
+#: parses backslash escapes, so '\s+' in THIS file (one backslash after
+#: Python) would reach the regex engine as 's+' - silently replacing
+#: letter-s runs with spaces (length-preserving for single s, so probes
+#: comparing lengths miss it).  SQL literals need the doubled form
+#: below; DuckDB twins do NOT parse backslash escapes, so their '\s+'
+#: stays single-backslash - the two engines' SQL literals differ.
+_QS_PK_EXPR = r"""
+element_at(transform(array(split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ')),
+  ws ->
+    ((1000 * (aggregate(ws, 0, (acc, w) -> acc + length(w)) + size(ws) - 1))
+       DIV size(ws)) * CAST(2147483648 AS BIGINT)
+      + ((1000 * size(filter(ws, w -> w IN ('a', 'the')))) DIV size(ws))
+  ), 1)
+"""
+
+
 def _qs_feats(spark, sf_dir):
-    """(doc_id, source, x1, x2, y, is_train) integer feature frame."""
+    """(doc_id, source, x1, x2, y, is_train) integer feature frame.
+
+    The CACHED column is the packed bigint, so the expensive text pass
+    runs once per row at fill time; x1/x2 unpack post-cache with two
+    long ops."""
     d = spread(load_table(spark, sf_dir, "documents")).filter(F.trim("text") != "")
-    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
-    words = F.split(norm, " ")
-    nstop = F.size(F.filter(words, lambda w: w.isin("a", "the")))
-    feats = d.select(
+    packed = d.select(
         "doc_id",
         "source",
-        (F.lit(1000) * F.length(norm)).alias("__numc__"),
-        F.size(words).alias("__nw__"),
-        (F.lit(1000) * nstop).alias("__nums__"),
+        F.expr(_QS_PK_EXPR).alias("__pk__"),
         F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("y"),
         F.when(F.pmod("doc_id", F.lit(10)) < 8, 1).otherwise(0).alias("is_train"),
-    ).select(
-        "doc_id",
-        "source",
-        F.expr("__numc__ DIV __nw__").alias("x1"),
-        F.expr("__nums__ DIV __nw__").alias("x2"),
-        "y",
-        "is_train",
     )
     from .registry import cache_scoped
 
-    return cache_scoped(feats)
+    packed = cache_scoped(packed)
+    return packed.select(
+        "doc_id",
+        "source",
+        F.expr("__pk__ DIV CAST(2147483648 AS BIGINT)").alias("x1"),
+        F.expr("__pk__ % CAST(2147483648 AS BIGINT)").alias("x2"),
+        "y",
+        "is_train",
+    )
 
 
 def _qs_scored(feats):

@@ -17,6 +17,7 @@ import os
 from pyspark.sql import functions as F
 
 from ..streaming.ops import (
+    drain_state_partitions,
     read_events_stream,
     run_available_now,
     run_available_now_to_files,
@@ -29,15 +30,17 @@ from .registry import register
 _sink_counter = itertools.count()
 
 
-def _state_parts(sf_dir: str) -> int:
-    """Byte-derived state-store partition count for a drain over the
-    events table: ~4 MB of input parquet per partition, floor 32 (the
-    session shuffle default every bench budget was measured with), cap
-    512.  Passed as ``shuffle_partitions=`` to the drain helpers — the
-    ONLY lever stateful operators honor (round-8 ADVICE fix; see
-    stream_sharded_distinct_users).  Driver-side file metadata only."""
-    size_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
-    return max(32, min(512, size_bytes // (4 << 20)))
+def events_state_parts(sf_dir: str) -> int:
+    """State partitions for a drain over the events table: file-size
+    metadata (driver-side only) through
+    :func:`..streaming.ops.drain_state_partitions`."""
+    return drain_state_partitions(
+        os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
+# round-8 internal name, kept for the in-module call sites
+_state_parts = events_state_parts
 
 
 def _events_stream(spark, sf_dir: str):

@@ -229,6 +229,18 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def drain_state_partitions(input_bytes: int) -> int:
+    """Byte-derived state-store partition count for a bounded drain:
+    ~4 MB of input per partition, floor 32 (the session shuffle default
+    the bench budgets were measured with), cap 512.  Pass the result as
+    ``shuffle_partitions=`` to :func:`run_available_now` /
+    :func:`run_available_now_to_files` — the ONLY lever stateful
+    operators honor (they take the state partition count from
+    ``spark.sql.shuffle.partitions`` at first run and ignore upstream
+    repartitions)."""
+    return max(32, min(512, input_bytes // (4 << 20)))
+
+
 #: Final ``lastProgress`` of the most recent drain — lets tests assert
 #: physical state-store facts (e.g. ``stateOperators[*].numShufflePartitions``
 #: equals the pinned count) instead of trusting plan comments.

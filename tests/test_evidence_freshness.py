@@ -16,6 +16,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 from dask_expr_rapids_spark.queries import DRIVER_WINDOW, REGISTRY
 
@@ -26,8 +27,11 @@ MAX_AGE_ROUNDS = 4
 def _hash_history() -> tuple[dict[str, int], int]:
     newest: dict[str, int] = {}
     latest_round = 0
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
-        rnd = int(os.path.basename(f).split("_r0")[1].split(".")[0])
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(f))
+        if not m:
+            continue
+        rnd = int(m.group(1))
         latest_round = max(latest_round, rnd)
         with open(f) as fh:
             data = json.load(fh)

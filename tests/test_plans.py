@@ -425,3 +425,53 @@ def test_cached_subtree_counts_once_with_alias(spark):
         assert count_shuffle_exchanges(joined) <= one + 2
     finally:
         cached.unpersist()
+
+
+def test_real_double_scan_not_collapsed_by_cache_dedup(spark):
+    """Round-8 review fix: two GENUINE scans of the same table with
+    identical projections must both count, even when an unrelated cache
+    is present in the plan (dict-identity dedup over the detail sections
+    collapsed them — the inflation fix must not over-correct)."""
+    from dask_expr_rapids_spark.plans import audit
+
+    e = load_table(spark, SF_DIR, "events").select("event_type")
+    doubled = e.union(e)  # two real FileScan branches
+    assert audit(doubled)["stats"]["parquet_scans"] == 2
+    cached = (
+        load_table(spark, SF_DIR, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    try:
+        with_cache = doubled.crossJoin(cached.limit(1))
+        st = audit(with_cache)["stats"]
+        # 2 real event scans + the cached build's nation scan (once)
+        assert st["parquet_scans"] == 3
+    finally:
+        cached.unpersist()
+
+
+def test_nested_cache_counts_once(spark):
+    """Round-8 review fix: cache B built ON TOP of cache A prints A's
+    build inside B's block AND standalone under A's own consumers — A's
+    shuffle must still count exactly once."""
+    from dask_expr_rapids_spark.plans import count_shuffle_exchanges
+
+    a = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    b = a.groupBy().agg(F.sum("n").alias("total")).persist()
+    try:
+        base = count_shuffle_exchanges(b)
+        # consume B twice AND A directly: A's build subtree appears in
+        # B's reprinted block and standalone — physical shuffles are
+        # still just A's agg + B's agg (+ the join's own exchanges)
+        combined = b.union(b).crossJoin(a.limit(1))
+        assert count_shuffle_exchanges(combined) <= base + 1
+    finally:
+        b.unpersist()
+        a.unpersist()

@@ -563,3 +563,37 @@ def test_robust_queries_selection_path_matches_oracle(spark, oracle):
             release_caches()
     finally:
         selection.DEFAULT_PATH_B_BYTES = orig
+
+
+def test_grouped_lower_median_null_nan_parity(spark):
+    """Round-8 review fix: the selection path must match the window
+    path's NULL/NaN semantics (ascending sort = NULLs first, NaN last):
+    a majority-NULL group yields a NULL median (not a missing row) and a
+    NaN-majority group yields NaN, from BOTH paths."""
+    import math
+
+    from pyspark.sql import Row
+
+    from dask_expr_rapids_spark.operators.selection import grouped_lower_median
+
+    rows = []
+    for i in range(10):
+        rows.append(Row(g="A", v=None if i < 6 else float(i)))
+    for i in range(10):
+        rows.append(Row(g="B", v=float("nan") if i >= 4 else float(i)))
+    for i in range(11):
+        rows.append(Row(g="C", v=float(i)))
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    def norm(x):
+        return "nan" if (x is not None and isinstance(x, float) and math.isnan(x)) else x
+
+    results = {}
+    for force in ("window", "selection"):
+        got = {
+            r["g"]: norm(r["m"])
+            for r in grouped_lower_median(df, "g", "v", "m", force=force).collect()
+        }
+        results[force] = got
+    assert results["window"] == results["selection"]
+    assert results["window"] == {"A": None, "B": "nan", "C": 5.0}
