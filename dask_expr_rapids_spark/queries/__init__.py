@@ -55,7 +55,8 @@ from . import window  # noqa: E402,F401
 # with every query registered during round 8 (never driver-verified —
 # as of this comment: dedup_url_canonical, quality_scorer_linear,
 # scorer_calibration_deciles, cdc_apply_orders,
-# attribution_last_click_daily, schema_evolution_roundtrip, plus
+# attribution_last_click_daily, schema_evolution_roundtrip,
+# cv_scorer_fold_metrics, jl_projection_quality, plus
 # anything registered later in
 # round 8), then back-fill with the oldest remaining r5-window queries in
 # registration order (ann_bruteforce/ivf/lsh_cosine_topk,

@@ -841,3 +841,359 @@ def schema_evolution_roundtrip(spark, sf_dir):
         .cast("long")
         .alias("sum_price_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# 5-fold cross-validation of the linear scorer — GROUPED model training
+# as ONE aggregation.  The classic distributed-CV trick: leave-fold-out
+# training moments are TOTAL − fold (exact decimal subtraction), so all
+# five models train from a single per-fold moment aggregate — no 5×
+# re-scan, no iteration, any cluster size.  Each fold's held-out rows
+# are then scored against THEIR fold's weights (5-row broadcast) and
+# report accuracy at the 0.5 threshold.
+#
+# Determinism: per-fold moments are exact DECIMAL(38,0) sums; totals are
+# window sums over the 5-row aggregate (decimal adds, exact); the same
+# ridge-Cramer as quality_scorer_linear in identical IEEE order; the
+# accuracy rollup is integer counts and integer-DIV rates.
+# --------------------------------------------------------------------------
+_QS_CV_MOM_SQL = """
+    fm AS (
+      SELECT doc_id % 5 AS fold,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n_,
+             SUM(CAST(x1 AS DECIMAL(38,0))) AS s1_,
+             SUM(CAST(x2 AS DECIMAL(38,0))) AS s2_,
+             SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS s11_,
+             SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS s12_,
+             SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS s22_,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy_,
+             SUM(CAST(x1 * y AS DECIMAL(38,0))) AS s1y_,
+             SUM(CAST(x2 * y AS DECIMAL(38,0))) AS s2y_
+      FROM feats GROUP BY 1
+    ),
+    tm AS (
+      SELECT fold,
+             {n} AS n, {s1} AS s1, {s2} AS s2, {s11} AS s11,
+             {s12} AS s12, {s22} AS s22, {sy} AS sy,
+             {s1y} AS s1y, {s2y} AS s2y
+      FROM fm
+    )
+"""
+
+
+def _qs_cv_diff_sql(col: str) -> str:
+    """total-minus-fold moment, converted exactly to double."""
+    from ..functions.exact import dec2dbl_expr
+
+    return dec2dbl_expr(f"(SUM({col}_) OVER () - {col}_)", 0)
+
+
+@register(
+    "cv_scorer_fold_metrics",
+    f"""
+    WITH {_QS_FEAT_SQL},
+    {_QS_CV_MOM_SQL.format(
+        n=_qs_cv_diff_sql('n'), s1=_qs_cv_diff_sql('s1'),
+        s2=_qs_cv_diff_sql('s2'), s11=_qs_cv_diff_sql('s11'),
+        s12=_qs_cv_diff_sql('s12'), s22=_qs_cv_diff_sql('s22'),
+        sy=_qs_cv_diff_sql('sy'), s1y=_qs_cv_diff_sql('s1y'),
+        s2y=_qs_cv_diff_sql('s2y'))},
+    w AS (
+      SELECT fold,
+        (((n * s11) - (s1 * s1)) + (0.001 * n)) AS c11,
+        ((n * s12) - (s1 * s2)) AS c12,
+        (((n * s22) - (s2 * s2)) + (0.001 * n)) AS c22,
+        ((n * s1y) - (s1 * sy)) AS c1y,
+        ((n * s2y) - (s2 * sy)) AS c2y,
+        n, s1, s2, sy
+      FROM tm
+    ),
+    model AS (
+      SELECT fold,
+        (((c1y * c22) - (c2y * c12)) / ((c11 * c22) - (c12 * c12))) AS w1,
+        (((c2y * c11) - (c1y * c12)) / ((c11 * c22) - (c12 * c12))) AS w2,
+        n, s1, s2, sy
+      FROM w
+    ),
+    model2 AS (
+      SELECT fold, w1, w2,
+             ((sy - (w1 * s1)) - (w2 * s2)) / n AS w0
+      FROM model
+    ),
+    scored AS (
+      SELECT f.doc_id % 5 AS fold, f.y,
+             CAST(floor((m.w0 + (m.w1 * f.x1) + (m.w2 * f.x2)) * 1000000.0
+                        + 0.5) AS BIGINT) AS score_micro,
+             m.w0, m.w1, m.w2
+      FROM feats f JOIN model2 m ON f.doc_id % 5 = m.fold
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN (score_micro >= 500000) = (y = 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST((SUM(CASE WHEN (score_micro >= 500000) = (y = 1)
+                          THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+                AS BIGINT) AS accuracy_micro,
+           CAST(MIN(floor(w0 * 1000000000.0 + 0.5)) AS BIGINT) AS w0_nano,
+           CAST(MIN(floor(w1 * 1000000000.0 + 0.5)) AS BIGINT) AS w1_nano,
+           CAST(MIN(floor(w2 * 1000000000.0 + 0.5)) AS BIGINT) AS w2_nano
+    FROM scored GROUP BY fold
+    """,
+)
+def cv_scorer_fold_metrics(spark, sf_dir):
+    """Leave-fold-out 5-fold CV of the linear scorer from ONE moment
+    aggregate (train moments = total − fold, exact decimal), scoring
+    each fold's holdout against its own broadcast model."""
+    from pyspark.sql import Window as W
+
+    feats = _qs_feats(spark, sf_dir).withColumn(
+        "fold", F.pmod("doc_id", F.lit(5))
+    )
+    DEC = "decimal(38,0)"
+    fm = feats.groupBy("fold").agg(
+        F.count(F.lit(1)).cast(DEC).alias("n_"),
+        F.sum(F.col("x1").cast(DEC)).alias("s1_"),
+        F.sum(F.col("x2").cast(DEC)).alias("s2_"),
+        F.sum((F.col("x1") * F.col("x1")).cast(DEC)).alias("s11_"),
+        F.sum((F.col("x1") * F.col("x2")).cast(DEC)).alias("s12_"),
+        F.sum((F.col("x2") * F.col("x2")).cast(DEC)).alias("s22_"),
+        F.sum(F.col("y").cast(DEC)).alias("sy_"),
+        F.sum((F.col("x1") * F.col("y")).cast(DEC)).alias("s1y_"),
+        F.sum((F.col("x2") * F.col("y")).cast(DEC)).alias("s2y_"),
+    )
+    wall = W.partitionBy()
+
+    def diff(col):
+        return dec_to_double(F.sum(F.col(col)).over(wall) - F.col(col), 0)
+
+    tm = fm.select(
+        "fold",
+        diff("n_").alias("n"),
+        diff("s1_").alias("s1"),
+        diff("s2_").alias("s2"),
+        diff("s11_").alias("s11"),
+        diff("s12_").alias("s12"),
+        diff("s22_").alias("s22"),
+        diff("sy_").alias("sy"),
+        diff("s1y_").alias("s1y"),
+        diff("s2y_").alias("s2y"),
+    )
+    c = tm.select(
+        "fold",
+        (
+            ((F.col("n") * F.col("s11")) - (F.col("s1") * F.col("s1")))
+            + (F.lit(0.001) * F.col("n"))
+        ).alias("c11"),
+        ((F.col("n") * F.col("s12")) - (F.col("s1") * F.col("s2"))).alias("c12"),
+        (
+            ((F.col("n") * F.col("s22")) - (F.col("s2") * F.col("s2")))
+            + (F.lit(0.001) * F.col("n"))
+        ).alias("c22"),
+        ((F.col("n") * F.col("s1y")) - (F.col("s1") * F.col("sy"))).alias("c1y"),
+        ((F.col("n") * F.col("s2y")) - (F.col("s2") * F.col("sy"))).alias("c2y"),
+        "n",
+        "s1",
+        "s2",
+        "sy",
+    )
+    det = (F.col("c11") * F.col("c22")) - (F.col("c12") * F.col("c12"))
+    model = c.select(
+        "fold",
+        (((F.col("c1y") * F.col("c22")) - (F.col("c2y") * F.col("c12"))) / det).alias(
+            "w1"
+        ),
+        (((F.col("c2y") * F.col("c11")) - (F.col("c1y") * F.col("c12"))) / det).alias(
+            "w2"
+        ),
+        "n",
+        "s1",
+        "s2",
+        "sy",
+    ).select(
+        "fold",
+        "w1",
+        "w2",
+        (
+            ((F.col("sy") - (F.col("w1") * F.col("s1"))) - (F.col("w2") * F.col("s2")))
+            / F.col("n")
+        ).alias("w0"),
+    )
+    scored = feats.join(F.broadcast(model), "fold").select(
+        "fold",
+        "y",
+        F.floor(
+            (F.col("w0") + (F.col("w1") * F.col("x1")) + (F.col("w2") * F.col("x2")))
+            * 1_000_000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("score_micro"),
+        "w0",
+        "w1",
+        "w2",
+    )
+    correct = F.when(
+        (F.col("score_micro") >= 500_000) == (F.col("y") == 1), 1
+    ).otherwise(0)
+    return scored.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.expr(
+            "CAST((SUM(CASE WHEN (score_micro >= 500000) = (y = 1) THEN 1 ELSE 0 END)"
+            " * 1000000) DIV COUNT(*) AS BIGINT)"
+        ).alias("accuracy_micro"),
+        F.floor(F.min("w0") * 1_000_000_000.0 + 0.5).cast("long").alias("w0_nano"),
+        F.floor(F.min("w1") * 1_000_000_000.0 + 0.5).cast("long").alias("w1_nano"),
+        F.floor(F.min("w2") * 1_000_000_000.0 + 0.5).cast("long").alias("w2_nano"),
+    ).select(
+        F.col("fold").cast("long").alias("fold"),
+        "n_eval",
+        "n_correct",
+        "accuracy_micro",
+        "w0_nano",
+        "w1_nano",
+        "w2_nano",
+    )
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection quality — the dimensionality-
+# reduction pre-step a 100 TB ANN pipeline runs before indexing: project
+# the 64-dim embeddings onto K=16 dims with a DETERMINISTIC ±1 sign
+# matrix (md5-derived — no RNG state, any executor regenerates the same
+# matrix) and report, for every probe pair, how well squared distances
+# survive (ratio = d2_proj / (K · d2_orig) ≈ 1 by the JL lemma for ±1
+# matrices, E[(Σ±x_j)²] = ‖x‖²).
+#
+# Exactness: quantized integer vectors, integer sign sums, integer
+# squared distances — the only double is the final ratio division,
+# identical IEEE in both engines.  Scale shape: the projection is one
+# map-side HOF per row (16×64 adds); the pair stage here is probes-only
+# (45 pairs) — at scale the projected table IS the output, written once.
+# --------------------------------------------------------------------------
+_JL_K = 16
+_JL_DIM = 64
+_JL_NPROBE = 10
+
+_JL_QELEM = (
+    "CAST(round(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) * 1000000, 0)"
+    " AS BIGINT)"
+)
+
+
+def _jl_sign_sql(k: str, j: str) -> str:
+    """±1 from the first md5 hex digit's parity of 'jl<k>_<j>' — DuckDB
+    form (Spark uses conv(); both hash the identical string)."""
+    from .text import _md5_uint_sql
+
+    key = f"'jl' || CAST({k} AS VARCHAR) || '_' || CAST({j} AS VARCHAR)"
+    return f"(CASE WHEN ({_md5_uint_sql(key, 1)}) % 2 = 0 THEN 1 ELSE -1 END)"
+
+
+_JL_PROJ_SQL = f"""
+    WITH qv AS (
+      SELECT vec_id AS id, CAST(j AS INT) AS j, {_JL_QELEM} AS x
+      FROM (SELECT vec_id, embedding, unnest(range({_JL_DIM})) AS j
+            FROM embeddings WHERE vec_id < {_JL_NPROBE}) e
+    ),
+    proj AS (
+      SELECT q.id, CAST(k AS INT) AS k,
+             SUM({_jl_sign_sql('k', 'q.j')} * q.x) AS p
+      FROM qv q, LATERAL (SELECT unnest(range({_JL_K})) AS k) t
+      GROUP BY 1, 2
+    ),
+    d2o AS (
+      SELECT a.id AS i, b.id AS j2, CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2_orig
+      FROM qv a JOIN qv b ON a.j = b.j AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    d2p AS (
+      SELECT a.id AS i, b.id AS j2, CAST(SUM((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS d2_proj
+      FROM proj a JOIN proj b ON a.k = b.k AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT o.i, o.j2 AS j, o.d2_orig, p.d2_proj,
+           (CAST(floor((CAST(p.d2_proj AS DOUBLE)
+                        / (CAST({_JL_K} AS DOUBLE) * CAST(o.d2_orig AS DOUBLE)))
+                       * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS ratio
+    FROM d2o o JOIN d2p p ON o.i = p.i AND o.j2 = p.j2
+    """
+
+
+@register("jl_projection_quality", _JL_PROJ_SQL)
+def jl_projection_quality(spark, sf_dir):
+    """Project the probe embeddings 64→16 dims with the deterministic
+    md5-sign JL matrix; report per-pair squared-distance preservation
+    (ratio ≈ 1)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _JL_NPROBE
+    )
+    qv = e.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("long"),
+        ).alias("qv"),
+    )
+    sign = lambda k, j: F.when(  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("jl"),
+                        k.cast("string"),
+                        F.lit("_"),
+                        j.cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit(1).cast("long"),
+    ).otherwise(F.lit(-1).cast("long"))
+    # p_k = sum_j sign(k,j) * qv[j] — one HOF per row (16 x 64 adds)
+    proj = qv.select(
+        "id",
+        "qv",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_JL_K - 1)),
+            lambda k: F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.sequence(F.lit(0), F.lit(_JL_DIM - 1)),
+                    lambda x, j: sign(k, j) * x,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        ).alias("p"),
+    )
+    a = proj.select(
+        F.col("id").alias("i"), F.col("qv").alias("qa"), F.col("p").alias("pa")
+    )
+    b = proj.select(
+        F.col("id").alias("j"), F.col("qv").alias("qb"), F.col("p").alias("pb")
+    )
+    pairs = a.join(b, F.col("i") < F.col("j"))
+    d2 = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    out = pairs.select(
+        "i",
+        "j",
+        d2(F.col("qa"), F.col("qb")).alias("d2_orig"),
+        d2(F.col("pa"), F.col("pb")).alias("d2_proj"),
+    )
+    ratio = F.col("d2_proj").cast("double") / (
+        F.lit(float(_JL_K)) * F.col("d2_orig").cast("double")
+    )
+    return out.select(
+        "i", "j", "d2_orig", "d2_proj", pround(ratio, 6).alias("ratio")
+    )

@@ -166,6 +166,8 @@ HEADLINE = [
     "cdc_apply_orders",
     "attribution_last_click_daily",
     "schema_evolution_roundtrip",
+    "cv_scorer_fold_metrics",
+    "jl_projection_quality",
 ]
 
 
