@@ -300,3 +300,33 @@ def test_groupby_agg_spec_matches_pandas(spark, pdf, spec):
                     have,
                     want,
                 )
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]), finite),
+        min_size=1,
+        max_size=60,
+    )
+)
+@_settings
+def test_grouped_lower_median_both_paths_match_python(spark, data):
+    """Property (round 8): for ANY grouped float data — duplicates,
+    negatives, heavy ties — both grouped_lower_median paths return
+    exactly the Python-computed lower median (rank (n+1)//2 of the
+    sorted multiset) for every group."""
+    from dask_expr_rapids_spark.operators.selection import grouped_lower_median
+
+    pdf = pd.DataFrame(data, columns=["g", "v"])
+    pdf["v"] = pdf["v"].astype("float64")
+    expected = {}
+    for g, grp in pdf.groupby("g"):
+        vals = sorted(grp["v"].tolist())
+        expected[g] = vals[(len(vals) + 1) // 2 - 1]
+    df = spark.createDataFrame(pdf)
+    for force in ("window", "selection"):
+        got = {
+            r["g"]: r["m"]
+            for r in grouped_lower_median(df, "g", "v", "m", force=force).collect()
+        }
+        assert got == expected, (force, got, expected)
