@@ -41,86 +41,85 @@ from . import window  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver verification window: the driver's CORRECTNESS run covers the FIRST
 # 50 registered queries, so registration order is rotated each round to get
-# every query driver-verified on current code.  ROUND-8 window executes the
-# rotation plan committed in round 7: lead with ALL 36 queries that have
-# never been driver-verified (35 round-7 session additions + ann_pq, whose
-# PQ training is integer-exact + oracle-twinned this round), then back-fill
-# with the 11 r4-vintage queries (oldest surviving driver hashes) and the
-# 3 oldest r5-window queries.  Every query NOT in the window stays locally
-# oracle-checked at sf0.001 by tests/test_correctness.py (same compare,
-# same DuckDB oracle); tests/test_registry_window.py pins the window to
-# exactly this list.
+# every query driver-verified on current code.  ROUND-9 window executes the
+# rotation plan committed in round 8: lead with the 8 round-8 additions
+# (the registry's only never-driver-verified queries), then back-fill all
+# 42 remaining slots with r5-vintage queries (oldest surviving driver
+# hashes — at round 9 their evidence is age 4, the freshness limit).
+# 45 queries carry r5-vintage hashes but only 42 slots remain, so THREE are
+# deferred and MUST lead the round-10 window (at round 10 their age is 5 >
+# MAX_AGE_ROUNDS, so tests/test_evidence_freshness.py will fail unless the
+# r10 rotation covers them):
 #
-# ROUND-9 ROTATION PLAN (edit this list at the START of round 9): lead
-# with every query registered during round 8 (never driver-verified —
-# as of this comment: dedup_url_canonical, quality_scorer_linear,
-# scorer_calibration_deciles, cdc_apply_orders,
-# attribution_last_click_daily, schema_evolution_roundtrip,
-# cv_scorer_fold_metrics, jl_projection_quality, plus
-# anything registered later in
-# round 8), then back-fill with the oldest remaining r5-window queries in
-# registration order (ann_bruteforce/ivf/lsh_cosine_topk,
-# dataset_split_assign, decontaminate_train_eval, dedup_exact_clusters/
-# summary, dedup_neardup_minhash_lsh, dedup_minhash_components/survivors,
-# dedup_simhash(+components), dedup_ngram_jaccard, dedup_embedding_cosine,
-# stream_* r5 queries, multimodal_*, skew_salted_*, json/orc roundtrips,
-# text quality/stats family) — prefer the ones whose newest hash would
-# otherwise fall 4+ rounds stale (tests/test_evidence_freshness.py
-# computes exactly this set from the committed CORRECTNESS files).
+# ROUND-10 ROTATION PLAN (edit this list at the START of round 10): lead
+# with the three deferred r5-vintage queries — json_roundtrip_region,
+# orc_roundtrip_nation, timeseries_source_agg — plus every query
+# registered during round 9 (never driver-verified), then back-fill with
+# the r6-vintage queries (50 of them; they reach the age-4 freshness limit
+# at round 10, so any not covered by the r10 window must go in r11's).
+# tests/test_evidence_freshness.py computes the exact stale set from the
+# committed CORRECTNESS files — run it after editing the window.
+#
+# CAPACITY ARITHMETIC (round-9 decision, see BENCH_PROTOCOL.md): the
+# freshness guard allows a query to wait at most 5 rounds between driver
+# hashes (hashed at r, exempt through r+4, in-window again at r+5), so
+# steady-state refresh capacity = 50 slots x 5 rounds = 250 queries.
+# Registry growth is therefore CAPPED: at most 4 additions per round and a
+# hard registry ceiling of 240 (margin >= 2 windows of slack for rotation
+# mistakes), pinned by tests/test_evidence_freshness.py::test_registry_capacity_margin.
 DRIVER_WINDOW: list[str] = [
-    # never driver-verified: round-7 session additions (35) + ann_pq (36)
-    "kmeans_embedding_clusters",
-    "bigram_lm_nll_by_source",
-    "robust_outliers_by_type",
-    "stream_sharded_distinct_users",
-    "zipf_fit_vocabulary",
-    "leakage_safe_split_stats",
-    "pagerank_word_centrality",
-    "hll_distinct_users",
-    "stream_hll_distinct_users",
-    "dedup_image_phash",
-    "cms_user_frequency",
-    "stream_cms_heavy_hitters",
-    "tfidf_hashed_features",
-    "snapshot_diff_orders",
-    "sessionize_users_batch",
-    "peak_concurrency_daily",
-    "bloom_semijoin_orders",
-    "hll_set_ops_users",
-    "dq_validation_report",
-    "time_weighted_avg_daily",
-    "markov_event_transitions",
-    "knn_label_classifier",
-    "bfs_khop_word_graph",
-    "stream_bloom_purchaser_filter",
-    "hopping_window_event_rates",
-    "session_conversion_daily",
-    "partition_checksum_diff_orders",
-    "column_entropy_profile",
-    "stream_session_conversion_daily",
-    "keyword_extraction_by_source",
-    "key_skew_report",
-    "robust_anomaly_flags_daily",
-    "mutual_information_event_dow",
-    "gini_spend_by_segment",
-    "funnel_time_to_convert_daily",
-    "ann_pq_cosine_topk",
-    # back-fill: the 11 r4-vintage queries (oldest driver hashes)
-    "rollup_status_priority",
-    "groupby_median_quantity",
-    "groupby_cov_corr",
-    "cumsum_user_value",
-    "shift_diff_events",
-    "ffill_user_value",
-    "rolling_mean_7",
-    "rank_orders_in_customer",
-    "groupby_head_first_orders",
-    "resample_hourly_events",
-    "resample_daily_ohlc",
-    # back-fill: 3 oldest r5-window queries
-    "asof_join_click_purchase",
-    "range_join_first_hour_events",
-    "skew_salted_join_revenue",
+    # never driver-verified: the 8 round-8 additions
+    "dedup_url_canonical",
+    "quality_scorer_linear",
+    "scorer_calibration_deciles",
+    "cdc_apply_orders",
+    "attribution_last_click_daily",
+    "schema_evolution_roundtrip",
+    "cv_scorer_fold_metrics",
+    "jl_projection_quality",
+    # back-fill: 42 of the 45 r5-vintage queries (age-4 evidence)
+    "ann_bruteforce_cosine_topk",
+    "ann_ivf_cosine_topk",
+    "ann_lsh_cosine_topk",
+    "boilerplate_gram_stats",
+    "chunk_documents_stats",
+    "dataset_split_assign",
+    "decontaminate_train_eval",
+    "dedup_embedding_cosine",
+    "dedup_exact_clusters",
+    "dedup_exact_summary",
+    "dedup_minhash_components",
+    "dedup_minhash_survivors",
+    "dedup_neardup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_components",
+    "domain_mix_resample",
+    "embedding_centroids",
+    "gapfill_hourly_event_counts",
+    "histogram_order_totals",
+    "json_props_extract_agg",
+    "lang_id_confusion",
+    "lazy_above_mean_orders",
+    "length_decile_stats",
+    "listagg_nations_by_region",
+    "multimodal_decode_features",
+    "multimodal_frame_stats",
+    "multimodal_payload_stats",
+    "pack_sequences_greedy",
+    "pii_scrub_stats",
+    "quality_repetition_signals",
+    "semantic_prune_prototypes",
+    "skew_salted_groupby_users",
+    "stream_dedup_event_keys",
+    "stream_join_click_purchase",
+    "stream_sessionize_users",
+    "stream_windowed_event_counts",
+    "text_quality_by_source",
+    "text_stats",
+    "time_rollup_multigrain",
+    "token_piece_stats",
+    "unpivot_lineitem_amounts",
 ]
 
 assert len(DRIVER_WINDOW) == 50, f"window must be exactly 50, got {len(DRIVER_WINDOW)}"

@@ -67,6 +67,22 @@ def test_no_query_evidence_older_than_four_rounds():
     assert len(never) <= 50, f"{len(never)} never-verified queries: {never}"
 
 
+def test_registry_capacity_margin():
+    """Round-9 capacity decision (see queries/__init__.py rotation block).
+
+    The freshness guard lets a query wait at most 5 rounds between driver
+    hashes, so steady-state refresh capacity is 50 slots x 5 rounds = 250
+    queries.  Registry growth is capped at a hard ceiling of 240 (>= 2
+    windows' worth of slack below capacity) so a single rotation mistake
+    never forces a freshness violation.  If this fails, consolidate
+    showcase queries before registering new ones.
+    """
+    assert len(REGISTRY) <= 240, (
+        f"registry has {len(REGISTRY)} queries; ceiling is 240 "
+        f"(refresh capacity 250 = 50 slots x 5-round freshness limit)"
+    )
+
+
 def test_window_members_exist_and_history_is_monotonic():
     newest, latest_round = _hash_history()
     assert latest_round >= 7

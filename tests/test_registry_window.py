@@ -14,63 +14,32 @@ def test_window_is_exactly_the_first_fifty():
 
 
 def test_window_prioritizes_unverified_queries():
-    # Round-8 rotation closes the verification debt itemized in the round-7
-    # verdict: ALL 36 never-driver-verified queries (35 round-7 session
-    # additions + ann_pq_cosine_topk, oracle-twinned this round) must lead
-    # the window, followed by the 11 r4-vintage hashes.
+    # Round-9 rotation closes the verification debt itemized in the round-8
+    # verdict: the 8 round-8 additions (the registry's only
+    # never-driver-verified queries) lead the window, followed by 42 of the
+    # 45 r5-vintage queries (their driver evidence hits the age-4 freshness
+    # limit this round).  The 3 deferred r5 queries (json_roundtrip_region,
+    # orc_roundtrip_nation, timeseries_source_agg) MUST lead round 10's
+    # window — tests/test_evidence_freshness.py enforces that arithmetic.
     never_verified = [
-        "kmeans_embedding_clusters",
-        "bigram_lm_nll_by_source",
-        "robust_outliers_by_type",
-        "stream_sharded_distinct_users",
-        "zipf_fit_vocabulary",
-        "leakage_safe_split_stats",
-        "pagerank_word_centrality",
-        "hll_distinct_users",
-        "stream_hll_distinct_users",
-        "dedup_image_phash",
-        "cms_user_frequency",
-        "stream_cms_heavy_hitters",
-        "tfidf_hashed_features",
-        "snapshot_diff_orders",
-        "sessionize_users_batch",
-        "peak_concurrency_daily",
-        "bloom_semijoin_orders",
-        "hll_set_ops_users",
-        "dq_validation_report",
-        "time_weighted_avg_daily",
-        "markov_event_transitions",
-        "knn_label_classifier",
-        "bfs_khop_word_graph",
-        "stream_bloom_purchaser_filter",
-        "hopping_window_event_rates",
-        "session_conversion_daily",
-        "partition_checksum_diff_orders",
-        "column_entropy_profile",
-        "stream_session_conversion_daily",
-        "keyword_extraction_by_source",
-        "key_skew_report",
-        "robust_anomaly_flags_daily",
-        "mutual_information_event_dow",
-        "gini_spend_by_segment",
-        "funnel_time_to_convert_daily",
-        "ann_pq_cosine_topk",
+        "dedup_url_canonical",
+        "quality_scorer_linear",
+        "scorer_calibration_deciles",
+        "cdc_apply_orders",
+        "attribution_last_click_daily",
+        "schema_evolution_roundtrip",
+        "cv_scorer_fold_metrics",
+        "jl_projection_quality",
     ]
-    assert DRIVER_WINDOW[:36] == never_verified
-    r4_vintage = [
-        "rollup_status_priority",
-        "groupby_median_quantity",
-        "groupby_cov_corr",
-        "cumsum_user_value",
-        "shift_diff_events",
-        "ffill_user_value",
-        "rolling_mean_7",
-        "rank_orders_in_customer",
-        "groupby_head_first_orders",
-        "resample_hourly_events",
-        "resample_daily_ohlc",
-    ]
-    assert DRIVER_WINDOW[36:47] == r4_vintage
+    assert DRIVER_WINDOW[:8] == never_verified
+    # every back-fill slot is an r5-vintage query
+    deferred_to_r10 = {
+        "json_roundtrip_region",
+        "orc_roundtrip_nation",
+        "timeseries_source_agg",
+    }
+    assert not deferred_to_r10 & set(DRIVER_WINDOW)
+    assert len(DRIVER_WINDOW[8:]) == 42
 
 
 def test_every_registered_query_has_fn():
