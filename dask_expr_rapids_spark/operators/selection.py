@@ -33,7 +33,11 @@ integers; ``floor`` on doubles is IEEE-exact; no float accumulation
 anywhere.  Contract: bucket resolution is 1/1024 of the value unit — a
 distribution packed entirely inside one bucket degenerates to the
 single-bucket sort (a second refinement level would fix; not needed for
-the engine's telemetry-shaped data).
+the engine's telemetry-shaped data).  Finite values >= ~4.5e15 (where
+``floor(v*1024)`` would pass the 1<<62 NaN sentinel) are clamped into the
+top finite bucket — same single-bucket degeneracy, same exact answer —
+so NaN-sorts-last holds over the FULL double range, not just the
+telemetry envelope.
 """
 
 from __future__ import annotations
@@ -72,8 +76,18 @@ def _selection_lower_median(df: DataFrame, group: str, col: str, out: str) -> Da
     # the bucket join below is null-safe) and NaN to a +inf sentinel
     # bucket.  A majority-NULL group then yields a NULL median from
     # either path instead of vanishing from the selection output.
+    # Finite-value envelope: floor(v*1024) exceeds the 1<<62 NaN sentinel
+    # for v >= ~4.5e15 (and a double->long cast saturates at Long.MAX), so
+    # finite buckets are clamped to (1<<62)-1.  Values above the clamp all
+    # land in that single top bucket — the per-VALUE pick inside the median
+    # bucket keeps the result exact (single-bucket degeneracy, documented
+    # in the module contract above); NaN stays strictly above every finite
+    # bucket, matching the window path's NaN-sorts-last semantics.
     dtype = dict(df.dtypes)[col]
-    raw = F.floor(F.col(col) * _BUCKETS_PER_UNIT).cast("long")
+    raw = F.least(
+        F.floor(F.col(col) * _BUCKETS_PER_UNIT).cast("long"),
+        F.lit((1 << 62) - 1),
+    )
     if dtype in ("double", "float"):
         b = F.when(F.isnan(F.col(col)), F.lit(1 << 62)).otherwise(raw)
     else:

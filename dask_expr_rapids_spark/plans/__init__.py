@@ -77,7 +77,16 @@ def dedupe_cached_subtrees(plan: str) -> str:
     ``[id1#36L, id2#37L]``) while the printed build subtree underneath is
     the shared ``cachedPlan`` object, textually identical modulo ids.
     Duplicates are dropped; the first occurrence keeps the build subtree
-    so its exchanges count exactly once."""
+    so its exchanges count exactly once.
+
+    Known limitation (audit-only impact, round-8 ADVICE): the key is the
+    normalized block TEXT, so two PHYSICALLY DISTINCT persisted frames
+    with identical build plans (each builds once → their exchanges
+    execute twice) dedupe to one and UNDERCOUNT.  The engine never
+    constructs such twins (every cache_scoped block caches a distinct
+    pipeline stage), and an undercount can only make the audit's shuffle
+    ceiling conservative-looking, not hide a hazard class — hazards
+    (cartesian, row-UDF, unpushed filters) are detected on the raw text."""
     def block_key(block: list[str]) -> str:
         head = _TREE_PREFIX_RE.sub("", block[0])
         head = re.sub(r"\[[^\]]*\]", "[out]", head, count=1)
@@ -111,15 +120,15 @@ def dedupe_cached_subtrees(plan: str) -> str:
                 # inside B's block — register every inner relation's key
                 # too, or A's standalone occurrence under another
                 # consumer would still be kept and its build exchanges
-                # counted twice
-                k = 1
-                while k < len(block):
+                # counted twice.  Walk EVERY line (no skip) so relations
+                # nested arbitrarily deep are all registered: iterative
+                # pyramids (BFS hop-3 embeds hop-2 embeds hop-1, round-8
+                # verdict) nest three+ levels, and the old one-level scan
+                # left the innermost hops double-counted (bfs_khop's
+                # audit row read 203 shuffles for a ~20-shuffle loop)
+                for k in range(1, len(block)):
                     if "InMemoryRelation" in block[k]:
-                        inner = extract_block(block, k)
-                        seen.add(block_key(inner))
-                        k += len(inner)
-                    else:
-                        k += 1
+                        seen.add(block_key(extract_block(block, k)))
                 out.extend(block)
             i += len(block)
             continue

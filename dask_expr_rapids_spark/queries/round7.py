@@ -233,6 +233,13 @@ _PQ_ASSIGN_SQL = """
       WHERE rn = 1
     )"""
 
+#: Centroid-update exactness envelope (round-8 ADVICE): DuckDB sums the
+#: bigint coords on its int128 path then casts once to double; Spark sums
+#: on decimal then casts.  Those two SUM->double roundings agree only
+#: while every per-(sub,code,dim) sum stays < 2^53 (doubles exact there).
+#: Quantized coords are |x| <= ~1e6 (tests/test_scale_ops.py pins the
+#: quantizer range), so the envelope holds up to ~2^33 rows PER CENTROID
+#: CELL — far beyond any corpus the trainer would see un-sampled.
 _PQ_UPDATE_SQL = """
     m{it} AS (
       SELECT a.j, a.c, q.i,

@@ -244,7 +244,7 @@ _QS_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 _QS_FEAT_SQL = f"""
     feats AS (
       SELECT doc_id, source,
-             (1000 * length(norm)) // nw AS x1,
+             least((1000 * length(norm)) // nw, 2147483647) AS x1,
              (1000 * nstop) // nw AS x2,
              CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y,
              CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END AS is_train
@@ -321,11 +321,17 @@ def _qs_moment_sql(expr: str) -> str:
 #: comparing lengths miss it).  SQL literals need the doubled form
 #: below; DuckDB twins do NOT parse backslash escapes, so their '\s+'
 #: stays single-backslash - the two engines' SQL literals differ.
+#: Pack-overflow guard (round-8 ADVICE): x1 = 1000*len/nw is bounded only
+#: by doc shape — a ~4.3M-char one-word doc pushes x1 to 2^32, putting
+#: x1 * 2^31 at the bigint overflow boundary.  x1 is clamped to 2^31 - 1
+#: (needs a >=2.1M-char single-word doc to trigger; IDENTICAL clamp in
+#: the DuckDB feats twin below, so the engines agree even on pathological
+#: docs), capping the packed value below 2^62.
 _QS_PK_EXPR = r"""
 element_at(transform(array(split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ')),
   ws ->
-    ((1000 * (aggregate(ws, 0, (acc, w) -> acc + length(w)) + size(ws) - 1))
-       DIV size(ws)) * CAST(2147483648 AS BIGINT)
+    least(((1000 * (aggregate(ws, 0, (acc, w) -> acc + length(w)) + size(ws) - 1))
+       DIV size(ws)), CAST(2147483647 AS BIGINT)) * CAST(2147483648 AS BIGINT)
       + ((1000 * size(filter(ws, w -> w IN ('a', 'the')))) DIV size(ws))
   ), 1)
 """

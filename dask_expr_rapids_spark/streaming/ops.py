@@ -244,6 +244,15 @@ def drain_state_partitions(input_bytes: int) -> int:
 #: Final ``lastProgress`` of the most recent drain — lets tests assert
 #: physical state-store facts (e.g. ``stateOperators[*].numShufflePartitions``
 #: equals the pinned count) instead of trusting plan comments.
+#: SEQUENTIAL-USE CONTRACT (round-8 ADVICE): the drain helpers pin the
+#: session-global ``spark.sql.shuffle.partitions`` for the drain's
+#: duration and this module-global records only the LAST drain — callers
+#: must not plan other queries on the same SparkSession concurrently with
+#: a drain (including batch work launched inside ``foreachBatch``), nor
+#: run two drains from different threads.  The engine's drains are all
+#: sequential (registry queries and tests run one drain at a time); a
+#: concurrent harness would need a cloned ``spark.newSession()`` per
+#: drain so the pinned conf never leaks across planners.
 LAST_DRAIN_PROGRESS: dict | None = None
 
 
@@ -262,7 +271,9 @@ def run_available_now(
     .partitions`` at the query's first run (pinned in the checkpoint
     thereafter) and reject any other clustering — a ``repartition(N, keys)``
     upstream is ignored.  The conf is set for the drain and restored after
-    (round-8 ADVICE fix).
+    (round-8 ADVICE fix); see the sequential-use contract on
+    :data:`LAST_DRAIN_PROGRESS` — no concurrent planning on this session
+    while a drain holds the pin.
 
     Test/demo harness only — the memory sink accumulates on the driver; the
     production drain is :func:`run_available_now_to_files`."""

@@ -427,6 +427,52 @@ def test_cached_subtree_counts_once_with_alias(spark):
         cached.unpersist()
 
 
+def test_cached_subtree_counts_once_three_level_nested(spark):
+    """Round-9 fix (round-8 verdict item #4 / ADVICE): an ITERATED cache
+    pyramid — hop-3 built on cached hop-2 built on cached hop-1, the
+    bfs_khop/pagerank shape — prints hop-1's build TWO levels deep inside
+    hop-3's block.  The old inner-relation registration scanned one level
+    and skipped the inner block's body, so hop-1's standalone occurrence
+    under another consumer was kept and its build shuffle double-counted
+    (bfs_khop's audit row read 203 shuffles for a ~20-shuffle loop).
+    Registration now walks every nested level."""
+    from dask_expr_rapids_spark.plans import count_shuffle_exchanges
+
+    a = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    b = (
+        a.select(F.length("event_type").alias("L"), "n")
+        .groupBy("L")
+        .agg(F.sum("n").alias("s"))
+        .persist()
+    )
+    c = (
+        b.select((F.col("L") % 2).alias("p"), "s")
+        .groupBy("p")
+        .agg(F.sum("s").alias("t"))
+        .persist()
+    )
+    try:
+        c_sel = c.select(F.lit(1).alias("x"))
+        b_sel = b.select(F.lit(1).alias("x"))
+        a_sel = a.select(F.lit(1).alias("x"))
+        # deepest composite first, standalone inner hops after — the
+        # iterative-loop plan shape (final frontier leads, earlier hops
+        # reappear as standalone consumers)
+        combined = c_sel.union(b_sel).union(a_sel)
+        assert count_shuffle_exchanges(combined) == count_shuffle_exchanges(
+            c_sel
+        ), "standalone occurrences of nested cached hops must not re-count"
+    finally:
+        c.unpersist()
+        b.unpersist()
+        a.unpersist()
+
+
 def test_real_double_scan_not_collapsed_by_cache_dedup(spark):
     """Round-8 review fix: two GENUINE scans of the same table with
     identical projections must both count, even when an unrelated cache

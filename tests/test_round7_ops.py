@@ -597,3 +597,44 @@ def test_grouped_lower_median_null_nan_parity(spark):
         results[force] = got
     assert results["window"] == results["selection"]
     assert results["window"] == {"A": None, "B": "nan", "C": 5.0}
+
+
+def test_grouped_lower_median_huge_finite_values_stay_below_nan(spark):
+    """Round-8 ADVICE fix: floor(v*1024) for v >= ~4.5e15 would pass the
+    1<<62 NaN sentinel (and a double->long cast saturates at Long.MAX),
+    letting a huge finite value out-order NaN in the selection path's
+    bucket space.  The clamp pins every finite value into the top finite
+    bucket, so both paths still agree that NaN sorts LAST over the full
+    double range."""
+    import math
+
+    from pyspark.sql import Row
+
+    from dask_expr_rapids_spark.operators.selection import grouped_lower_median
+
+    rows = [
+        # median straddles the clamp region: 3 huge finite + 2 NaN means
+        # lower median (rank 3 of 5) is the largest huge finite value
+        Row(g="H", v=5.0e15),
+        Row(g="H", v=1.0e100),
+        Row(g="H", v=1.7e308),
+        Row(g="H", v=float("nan")),
+        Row(g="H", v=float("nan")),
+        # all-huge group: per-value pick inside the single clamped bucket
+        Row(g="G", v=4.6e15),
+        Row(g="G", v=9.9e200),
+        Row(g="G", v=1.0e300),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    def norm(x):
+        return "nan" if (x is not None and math.isnan(x)) else x
+
+    results = {}
+    for force in ("window", "selection"):
+        results[force] = {
+            r["g"]: norm(r["m"])
+            for r in grouped_lower_median(df, "g", "v", "m", force=force).collect()
+        }
+    assert results["window"] == results["selection"]
+    assert results["window"] == {"H": 1.7e308, "G": 9.9e200}
