@@ -83,6 +83,15 @@ HEADLINE = [
     # and the learned linear quality scorer
     "dedup_url_canonical",
     "quality_scorer_linear",
+    # round-9 additions (r8 verdict item #6): the two heaviest round-8
+    # queries — CDC latest-wins apply and leave-fold-out CV-as-one-
+    # aggregate — so the driver watches their plans every round
+    "cdc_apply_orders",
+    "cv_scorer_fold_metrics",
+    # round-9 addition: the 10th dedup strategy (incremental near-dup
+    # ingest — persisted LSH store probe; timed runs include the store
+    # ETL that production amortizes, see BENCH_PROTOCOL.md)
+    "dedup_incremental_neardup_ingest",
 ]
 
 N_RUNS = 5

@@ -22,6 +22,7 @@ from . import round5  # noqa: E402,F401
 from . import round6  # noqa: E402,F401
 from . import round7  # noqa: E402,F401
 from . import round8  # noqa: E402,F401
+from . import round9  # noqa: E402,F401
 from . import spans  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 from . import mutation  # noqa: E402,F401

@@ -326,16 +326,15 @@ _NEARDUP_SQL = f"""
 """
 
 
-@register("dedup_neardup_minhash_lsh", _NEARDUP_SQL)
-def dedup_neardup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-duplicate pairs with exact-jaccard verification.
+def minhash_sketch(d):
+    """(doc_id, h0..h{k-1}, gset, n) MinHash sketch of a (doc_id, text)
+    frame — the shared signature pipeline of the LSH dedup family (batch
+    ``dedup_neardup_minhash_lsh`` and the round-9 incremental ingest).
 
-    Plan shape at scale: one explode to grams (distinct within doc), one
-    groupBy(doc) computing all 12 min-hashes map-side (partial agg), a
-    narrow bands table, a bucket self-join on band key (tiny buckets), and
-    an exact verification join restricted to candidates.  No O(n^2) stage.
+    One explode to distinct-within-doc grams, one groupBy(doc) computing
+    all 12 min-hashes map-side (partial agg) plus the 60-bit gram-hash
+    verification set.  See the inline notes for the g60/g32 derivation.
     """
-    d = spread(load_table(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     grams = (
         d.select("doc_id", norm.alias("t"))
@@ -384,9 +383,13 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
         )
         .withColumn("n", F.size("gset"))
     )
-    from .registry import cache_scoped
+    return mh
 
-    mh = cache_scoped(mh)
+
+def band_rows(mh):
+    """Long-form (doc_id, bkey) band table from a sketch frame — docs
+    sharing any bkey are LSH candidates.  Band key = md5 over the band's
+    4 signature words (engine-agreed string hashing)."""
     n_bands = _K // _ROWS_PER_BAND
     sigs = mh.select(
         "doc_id",
@@ -408,6 +411,23 @@ def dedup_neardup_minhash_lsh(spark, sf_dir):
     for b in range(n_bands):
         part = sigs.select("doc_id", F.col(f"band{b}").alias("bkey"))
         bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
+@register("dedup_neardup_minhash_lsh", _NEARDUP_SQL)
+def dedup_neardup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-duplicate pairs with exact-jaccard verification.
+
+    Plan shape at scale: one explode to grams (distinct within doc), one
+    groupBy(doc) computing all 12 min-hashes map-side (partial agg), a
+    narrow bands table, a bucket self-join on band key (tiny buckets), and
+    an exact verification join restricted to candidates.  No O(n^2) stage.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    from .registry import cache_scoped
+
+    mh = cache_scoped(minhash_sketch(d))
+    bands = band_rows(mh)
     a, bb = bands.alias("a"), bands.alias("b")
     # every relation below scales with the corpus — pin shuffle joins so
     # AQE can never promote one to broadcast (its estimate comes from

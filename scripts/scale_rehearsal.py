@@ -168,6 +168,8 @@ HEADLINE = [
     "schema_evolution_roundtrip",
     "cv_scorer_fold_metrics",
     "jl_projection_quality",
+    # round-9 addition
+    "dedup_incremental_neardup_ingest",
 ]
 
 
