@@ -76,8 +76,14 @@ def dedupe_cached_subtrees(plan: str) -> str:
     relation with renamed output attributes (``[a#196L, b#197L]`` vs
     ``[id1#36L, id2#37L]``) while the printed build subtree underneath is
     the shared ``cachedPlan`` object, textually identical modulo ids.
-    Duplicates are dropped; the first occurrence keeps the build subtree
-    so its exchanges count exactly once.
+    Duplicates are dropped AT EVERY NESTING DEPTH in one linear pass: a
+    kept relation contributes its header and is then scanned INSIDE, so
+    an inner relation that duplicates one already seen (the BFS pyramid:
+    hop-3's kept block embeds hop-2's embeds hop-1's, while hop-2 and
+    hop-1 also print under their own consumers — the round-8 verdict's
+    203-shuffles-for-a-~20-shuffle-loop row) is elided from the kept
+    block's body too.  The first occurrence — wherever it appears —
+    keeps the build subtree so its exchanges count exactly once.
 
     Known limitation (audit-only impact, round-8 ADVICE): the key is the
     normalized block TEXT, so two PHYSICALLY DISTINCT persisted frames
@@ -114,23 +120,18 @@ def dedupe_cached_subtrees(plan: str) -> str:
         if "InMemoryRelation" in line:
             block = extract_block(lines, i)
             key = block_key(block)
-            if key not in seen:
-                seen.add(key)
-                # a NESTED cache (B built on cached A) prints A's build
-                # inside B's block — register every inner relation's key
-                # too, or A's standalone occurrence under another
-                # consumer would still be kept and its build exchanges
-                # counted twice.  Walk EVERY line (no skip) so relations
-                # nested arbitrarily deep are all registered: iterative
-                # pyramids (BFS hop-3 embeds hop-2 embeds hop-1, round-8
-                # verdict) nest three+ levels, and the old one-level scan
-                # left the innermost hops double-counted (bfs_khop's
-                # audit row read 203 shuffles for a ~20-shuffle loop)
-                for k in range(1, len(block)):
-                    if "InMemoryRelation" in block[k]:
-                        seen.add(block_key(extract_block(block, k)))
-                out.extend(block)
-            i += len(block)
+            if key in seen:
+                # duplicate at ANY depth: skip its whole printed subtree
+                i += len(block)
+                continue
+            seen.add(key)
+            # keep the header only, then CONTINUE SCANNING INSIDE the
+            # block — nested relations dedupe individually, so a cached
+            # build shared by several kept outer blocks (iterated
+            # pyramids: hop-3 embeds hop-2 embeds hop-1) is kept exactly
+            # once across the whole plan, not once per embedding
+            out.append(line)
+            i += 1
             continue
         out.append(line)
         i += 1

@@ -56,11 +56,16 @@ def main() -> None:
         "BatchEvalPython — are separately pinned as test failures in "
         "tests/test_plans.py.)  Counters report PHYSICAL plan truth for "
         "cached pipelines: explain() prints an InMemoryRelation's build "
-        "subtree once per consumer (and per alias), so repeated cached "
-        "subtrees are deduplicated before counting — a cached build's "
+        "subtree once per consumer (and per alias), AND iterated cache "
+        "pyramids re-print every earlier hop's build inside each later "
+        "hop's block, so repeated cached subtrees are deduplicated AT "
+        "EVERY NESTING DEPTH before counting — a cached build's "
         "exchanges execute once, at first materialization "
         "(plans.dedupe_cached_subtrees; pinned by "
-        "tests/test_plans.py::test_cached_subtree_counts_once*).",
+        "tests/test_plans.py::test_cached_subtree_counts_once*).  For "
+        "ITERATIVE queries (bfs/pagerank/CC loops) the row reports the "
+        "distinct per-iteration plan structure once, which is what "
+        "physically executes thanks to the per-hop caches.",
         "",
         "| query | shuffles | bcasts | scans | scans w/ pushed filters |"
         " codegen spans | arrow evals | hazards | notes |",

@@ -464,9 +464,20 @@ def test_cached_subtree_counts_once_three_level_nested(spark):
         # iterative-loop plan shape (final frontier leads, earlier hops
         # reappear as standalone consumers)
         combined = c_sel.union(b_sel).union(a_sel)
-        assert count_shuffle_exchanges(combined) == count_shuffle_exchanges(
-            c_sel
-        ), "standalone occurrences of nested cached hops must not re-count"
+        base = count_shuffle_exchanges(c_sel)
+        assert count_shuffle_exchanges(combined) == base, (
+            "standalone occurrences of nested cached hops must not re-count"
+        )
+        # SHALLOWEST first — the order the BFS union actually prints
+        # (hop-1's consumer leads, then hop-2's kept block EMBEDS hop-1's
+        # already-seen build, then hop-3's embeds both): inner duplicates
+        # inside later kept blocks must be elided too, or each hop's
+        # build re-counts once per deeper pyramid level (the 203-shuffle
+        # bfs_khop audit row)
+        reversed_order = a_sel.union(b_sel).union(c_sel)
+        assert count_shuffle_exchanges(reversed_order) == base, (
+            "cached builds embedded inside later kept blocks must not re-count"
+        )
     finally:
         c.unpersist()
         b.unpersist()
