@@ -55,7 +55,9 @@ from . import window  # noqa: E402,F401
 # ROUND-10 ROTATION PLAN (edit this list at the START of round 10): lead
 # with the three deferred r5-vintage queries — json_roundtrip_region,
 # orc_roundtrip_nation, timeseries_source_agg — plus every query
-# registered during round 9 (never driver-verified), then back-fill with
+# registered during round 9 (never driver-verified — as of this comment:
+# dedup_incremental_neardup_ingest, stream_lsh_neardup_ingest, plus
+# anything registered later in round 9), then back-fill with
 # the r6-vintage queries (50 of them; they reach the age-4 freshness limit
 # at round 10, so any not covered by the r10 window must go in r11's).
 # tests/test_evidence_freshness.py computes the exact stale set from the

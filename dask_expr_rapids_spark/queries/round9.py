@@ -12,9 +12,11 @@ and only the incoming batch computes signatures and probes it.
 Scale notes (100 TB posture):
 
 * The store is REAL in the plan: the query first materializes the store
-  side's sketches and band rows to parquet (the one-time ETL a real
-  pipeline runs once, not per batch), then the probe stage reads ONLY
-  those parquet files — the store's *text* is never touched again.
+  side's sketches to parquet (the one-time ETL a real pipeline runs
+  once, not per batch), then the probe stage reads ONLY that parquet —
+  the store's *text* is never touched again.  Band rows are DERIVED at
+  probe time (a pure projection; parquet column pruning keeps the scan
+  on doc_id + signature words).
 * The probe never shuffles or broadcasts the store.  Batch bands (slim
   (doc_id, bkey) rows, bounded by the ingest batch size) broadcast
   against the store's band table — one streamed pass, zero store
@@ -145,17 +147,17 @@ def dedup_incremental_neardup_ingest(spark, sf_dir):
         (hash_uniform(F.col("doc_id")) < _STORE_FRAC).alias("in_store"),
     )
 
-    # ---- stage 1: the persistent store (sketch + band-bucket tables) ----
+    # ---- stage 1: the persistent store (one sketch table) ----
     store_mh = minhash_sketch(tagged.filter("in_store").select("doc_id", "text"))
     root = scratch_dir("spark_graft_ndstore_")
     sketch_path = os.path.join(root, "sketch")
-    bands_path = os.path.join(root, "bands")
     store_mh.write.mode("overwrite").parquet(sketch_path)
-    band_rows(
-        spark.read.parquet(sketch_path)
-    ).write.mode("overwrite").parquet(bands_path)
     store_sketch = spark.read.parquet(sketch_path)
-    store_bands = spark.read.parquet(bands_path)
+    # the band table is DERIVED at probe time: band_rows is a pure
+    # projection and parquet column pruning keeps the probe scan on
+    # (doc_id, h0..h11) only — same bytes as a slim band table, one
+    # fewer store table to keep consistent (mirrors the streaming sink)
+    store_bands = band_rows(store_sketch)
 
     # ---- stage 2: the batch probe (store text never read again) ----
     batch = tagged.filter(~F.col("in_store"))
@@ -181,26 +183,25 @@ def dedup_incremental_neardup_ingest(spark, sf_dir):
         .distinct()
     )
 
-    # verification gsets: candidate store ids are few — broadcast-id inner
-    # join filters the store sketch in one streamed pass (no store shuffle,
-    # and the gset-carrying side is never broadcast)
-    need_store = cand_store.select(F.col("id_ot").alias("doc_id")).distinct()
-    st_g = store_sketch.join(F.broadcast(need_store), "doc_id").select(
-        F.col("doc_id").alias("id_ot"),
-        F.col("n").alias("n2"),
-        F.col("gset").alias("gset2"),
-    )
-    in_g = batch_mh.select(
-        F.col("doc_id").alias("id_in"), F.col("n").alias("n1"), F.col("gset").alias("gset1")
-    )
-    ba_g = batch_mh.select(
-        F.col("doc_id").alias("id_ot"), F.col("n").alias("n2"), F.col("gset").alias("gset2")
-    )
+    # verification gsets: candidate ids are few on EVERY side — a
+    # broadcast-id inner join filters each gset-carrying frame (store
+    # sketch OR batch sketch) down to candidates in one streamed pass
+    # before the verify join, so gset arrays are never shuffled at
+    # corpus/batch volume and never broadcast (the round-9 sf10 drain
+    # profile: un-reduced batch gset shuffles were ~100x the candidate
+    # payload)
+    def _gsets(mh_side, cand, id_col, n_alias, g_alias):
+        need = cand.select(F.col(id_col).alias("doc_id")).distinct()
+        return mh_side.join(F.broadcast(need), "doc_id").select(
+            F.col("doc_id").alias(id_col),
+            F.col("n").alias(n_alias),
+            F.col("gset").alias(g_alias),
+        )
 
-    def _verify(cand, other_g):
+    def _verify(cand, other_mh):
         v = (
-            cand.join(in_g.hint("shuffle_hash"), "id_in")
-            .join(other_g.hint("shuffle_hash"), "id_ot")
+            cand.join(_gsets(batch_mh, cand, "id_in", "n1", "gset1").hint("shuffle_hash"), "id_in")
+            .join(_gsets(other_mh, cand, "id_ot", "n2", "gset2").hint("shuffle_hash"), "id_ot")
             .withColumn("shared", F.size(F.array_intersect("gset1", "gset2")))
         )
         jac = F.col("shared").cast("double") / (
@@ -208,8 +209,8 @@ def dedup_incremental_neardup_ingest(spark, sf_dir):
         ).cast("double")
         return v.filter(jac >= 0.2).select("id_in")
 
-    nd_store_ids = _verify(cand_store, st_g).distinct()
-    nd_batch_ids = _verify(cand_batch, ba_g).distinct()
+    nd_store_ids = _verify(cand_store, store_sketch).distinct()
+    nd_batch_ids = _verify(cand_batch, batch_mh).distinct()
 
     flagged = (
         batch.select("doc_id", "source")
@@ -233,4 +234,169 @@ def dedup_incremental_neardup_ingest(spark, sf_dir):
         F.sum(F.when(st, 1).otherwise(0)).alias("n_neardup_vs_store"),
         F.sum(F.when(~st & ba, 1).otherwise(0)).alias("n_neardup_within_batch"),
         F.sum(F.when(~st & ~ba, 1).otherwise(0)).alias("n_admitted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming twin of the incremental near-dup strategy: a foreachBatch MERGE
+# sink that maintains the persistent LSH store (sketch + band buckets) and
+# admits each staged micro-batch against it — the continuous-ingest form of
+# the batch query above, completing the pattern the exact-fingerprint pair
+# (dedup_incremental_new_docs / stream_upsert_dedup_sink) already has.
+#
+# The doc feed is staged as four files keyed by doc_id % 4 with forced
+# mtime order (streaming/ops.py::stage_ordered_feed), so availableNow +
+# maxFilesPerTrigger=1 yields four deterministic micro-batches and the
+# admission order is SQL-expressible: the oracle unrolls the four rounds
+# as chained CTEs over ONE shared verified-pair relation.  Admission
+# contract (run_lsh_neardup_ingest docstring): reject with reason 'store'
+# on a verified pair to any ADMITTED earlier-batch doc (the store holds
+# admitted docs only — a rejected doc never rejects later arrivals, which
+# is exactly where this differs from the batch query's wholesale store
+# slice); else reason 'batch' on a verified pair to a smaller-id same-
+# batch doc (status-blind min-id-survivor); else admit and append the
+# doc's sketch + bands to the store.
+# --------------------------------------------------------------------------
+
+def _rs_sql(k: int, prev: str) -> str:
+    """Batch-k store-rejection CTE: docs of batch k with a verified pair
+    into the admitted-so-far set ``prev``."""
+    return f"""
+    rs{k} AS (
+      SELECT DISTINCT p.x AS doc_id
+      FROM vps p
+      JOIN tb t ON t.doc_id = p.x AND t.batch = {k}
+      JOIN {prev} s ON s.doc_id = p.y
+    ),
+    a{k} AS (
+      SELECT t.doc_id FROM tb t WHERE t.batch = {k}
+        AND NOT EXISTS (SELECT 1 FROM rs{k} r WHERE r.doc_id = t.doc_id)
+        AND NOT EXISTS (SELECT 1 FROM wb w WHERE w.doc_id = t.doc_id)
+    ),
+    s{k} AS (SELECT doc_id FROM {prev} UNION ALL SELECT doc_id FROM a{k})"""
+
+
+_STREAM_LSH_SQL = f"""
+    WITH {_GRAMS_SQL},
+    tb AS (SELECT doc_id, source, doc_id % 4 AS batch FROM documents),
+    mh AS (
+      SELECT doc_id,
+           {_MINHASH_COLS_SQL},
+           COUNT(DISTINCT g60) AS n,
+           list(DISTINCT g60) AS gset
+      FROM grams GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {_BAND_KEYS_SQL} FROM mh),
+    bands AS (
+{_BAND_UNION_ALL_SQL}
+    ),
+    vp AS (
+      SELECT a.doc_id AS x, b.doc_id AS y
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    vver AS (
+      SELECT x, y FROM (
+        SELECT v.x, v.y,
+               len(list_intersect(m1.gset, m2.gset)) AS shared,
+               m1.n AS n1, m2.n AS n2
+        FROM vp v JOIN mh m1 ON v.x = m1.doc_id JOIN mh m2 ON v.y = m2.doc_id
+      ) t
+      WHERE CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) >= 0.2
+    ),
+    vps AS (SELECT x, y FROM vver UNION ALL SELECT y AS x, x AS y FROM vver),
+    wb AS (
+      SELECT DISTINCT p.x AS doc_id
+      FROM vps p
+      JOIN tb ta ON ta.doc_id = p.x
+      JOIN tb ty ON ty.doc_id = p.y
+      WHERE ty.batch = ta.batch AND p.y < p.x
+    ),
+    s0 AS (
+      SELECT t.doc_id FROM tb t WHERE t.batch = 0
+        AND NOT EXISTS (SELECT 1 FROM wb w WHERE w.doc_id = t.doc_id)
+    ),{_rs_sql(1, "s0")},{_rs_sql(2, "s1")},{_rs_sql(3, "s2")},
+    rs_all AS (
+      SELECT doc_id FROM rs1 UNION ALL
+      SELECT doc_id FROM rs2 UNION ALL
+      SELECT doc_id FROM rs3
+    ),
+    lab AS (
+      SELECT t.source,
+             CASE
+               WHEN EXISTS (SELECT 1 FROM rs_all r WHERE r.doc_id = t.doc_id)
+                 THEN 'store'
+               WHEN EXISTS (SELECT 1 FROM wb w WHERE w.doc_id = t.doc_id)
+                 THEN 'batch'
+               ELSE 'adm'
+             END AS lbl
+      FROM tb t
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN lbl = 'adm' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted,
+           CAST(SUM(CASE WHEN lbl = 'store' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rejected_store,
+           CAST(SUM(CASE WHEN lbl = 'batch' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rejected_batch
+    FROM lab GROUP BY source
+"""
+
+
+@register("stream_lsh_neardup_ingest", _STREAM_LSH_SQL)
+def stream_lsh_neardup_ingest(spark, sf_dir):
+    """Streaming LSH near-dup ingest: four staged micro-batches drain
+    through a foreachBatch MERGE sink holding the persistent band store;
+    per source: admitted docs, rejections against the store, rejections
+    within a batch.  Oracle = the four admission rounds unrolled as
+    chained CTEs over one verified-pair relation."""
+    from ..streaming.ops import run_lsh_neardup_ingest, stage_ordered_feed
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    stage = scratch_dir("spark_graft_lshfeed_")
+    stage_ordered_feed(docs, stage, n_batches=4, key="doc_id")
+    store = scratch_dir("spark_graft_lshstore_")
+    audit = os.path.join(scratch_dir("spark_graft_lshaudit_"), "audit")
+    # per-batch join stages are BATCH-sized: size their shuffle partition
+    # count from a quarter of the table's bytes (floor 8, cap 512), not
+    # the session's corpus-sized default — at 4 drains x ~6 shuffle
+    # stages, scheduling 32-task stages over kilobyte batches dominated
+    # the drain wall clock at bench scale
+    batch_bytes = os.path.getsize(os.path.join(sf_dir, "documents.parquet")) // 4
+    run_lsh_neardup_ingest(
+        spark,
+        stage,
+        store,
+        audit,
+        shuffle_partitions=max(8, min(512, batch_bytes // (4 << 20))),
+    )
+
+    admitted = (
+        spark.read.parquet(os.path.join(store, "sketch"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+    )
+    rej = spark.read.schema("source string, doc_id bigint, reason string").parquet(
+        audit
+    )
+    rej_counts = rej.groupBy("source").agg(
+        F.sum(F.when(F.col("reason") == "store", 1).otherwise(0)).alias(
+            "n_rejected_store"
+        ),
+        F.sum(F.when(F.col("reason") == "batch", 1).otherwise(0)).alias(
+            "n_rejected_batch"
+        ),
+    )
+    return (
+        admitted.join(rej_counts, "source", "full_outer")
+        .select(
+            "source",
+            F.coalesce("n_admitted", F.lit(0)).cast("long").alias("n_admitted"),
+            F.coalesce("n_rejected_store", F.lit(0))
+            .cast("long")
+            .alias("n_rejected_store"),
+            F.coalesce("n_rejected_batch", F.lit(0))
+            .cast("long")
+            .alias("n_rejected_batch"),
+        )
     )

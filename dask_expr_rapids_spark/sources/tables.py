@@ -199,6 +199,14 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     At production scale the scan already yields >= cores splits and this is
     a no-op; the shuffle it introduces moves only the small input, never the
     (much larger) expanded intermediate.
+
+    CAVEAT (round-9 lesson): a ``foreachBatch`` micro-batch frame is
+    backed by the streaming source — its ``inputFiles()`` is EMPTY, so
+    this heuristic returns it unchanged even though a
+    ``maxFilesPerTrigger=1`` batch is one file = one partition.  Inside a
+    streaming sink, repartition explicitly (see
+    ``streaming/ops.py::run_lsh_neardup_ingest``); the silent single-core
+    fallout cost a 7x drain slowdown before it was profiled.
     """
     n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     # estimate scan fan-out from driver-side file metadata (inputFiles +

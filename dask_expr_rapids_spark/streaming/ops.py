@@ -473,3 +473,221 @@ def run_upsert_dedup(spark: SparkSession, stage: str, store_dir: str, audit_dir:
         .start()
     )
     q.awaitTermination()
+
+
+def run_lsh_neardup_ingest(
+    spark: SparkSession,
+    stage: str,
+    store_dir: str,
+    audit_dir: str,
+    shuffle_partitions: int | None = None,
+) -> None:
+    """availableNow streaming NEAR-dup MERGE drain — the LSH twin of
+    :func:`run_upsert_dedup` and the streaming form of the round-9 batch
+    strategy (``queries/round9.py``): the persistent store keeps the
+    MinHash sketches + band-bucket rows of every ADMITTED doc; each
+    micro-batch sketches itself, probes the store by band key, verifies
+    candidates by exact jaccard (>= 0.2 over 60-bit gram hashes, the LSH
+    family contract), and appends only the admitted docs' sketches and
+    bands.
+
+    Admission contract (deterministic, SQL-expressible — the oracle
+    unrolls it over the staged batches): a doc is rejected with reason
+    ``store`` if it verifies against any ADMITTED doc from an earlier
+    batch (the store holds admitted docs only — a rejected doc never
+    rejects later arrivals), else with reason ``batch`` if it verifies
+    against any smaller-doc_id doc of its OWN batch (min-id-survivor,
+    status-blind, the same convention as the batch strategy); else it is
+    admitted.  Store-reason takes precedence in the audit log.
+
+    Scale posture per batch: the batch's slim (doc_id, bkey) rows
+    broadcast against the STREAMED store band table (the store is never
+    shuffled or broadcast — it scales with ingest history); verification
+    gsets for the few candidate store docs are fetched by a broadcast-id
+    inner join; the in-batch self-join is bounded by batch size.  State
+    lives in the store files — restart-safe, nothing in executor memory.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..scratch import scratch_dir
+
+    sketch_dir = os.path.join(store_dir, "sketch")
+
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    # the per-batch jobs are BATCH-sized (the ingest contract bounds
+    # them), but they inherit the session's corpus-sized shuffle
+    # partition count — at 4 drains x ~6 shuffle stages each, the task
+    # scheduling overhead dominates small batches.  Pin the conf for the
+    # drain (same sequential-use contract as run_available_now; restored
+    # after).  Unlike the stateful drains this is not a state-store
+    # sizing — just right-sizing per-batch join stages.
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from ..queries.text import band_rows, minhash_sketch
+        from ..sources.tables import spread
+
+        sess = batch_df.sparkSession
+        # EXPLICIT repartition, not spread(): a foreachBatch frame is
+        # backed by the streaming source, whose inputFiles() is empty, so
+        # spread()'s file-metadata heuristic returns it UNCHANGED — and a
+        # maxFilesPerTrigger=1 batch is one file = ONE partition, which
+        # ran the whole HOF sketch pipeline on a single core (the round-9
+        # sf10 profile: 82 s/batch single-core vs 13 s spread — the
+        # entire 7x drain mystery).  The shuffle moves only the raw batch
+        # text, never the expanded gram intermediate.
+        docs = batch_df.select("doc_id", "source", "text").repartition(
+            sess.sparkContext.defaultParallelism
+        )
+        mh = minhash_sketch(docs.select("doc_id", "text")).join(
+            docs.select("doc_id", "source"), "doc_id"
+        )
+        # one batch feeds several consumers (bands, both gset sides, the
+        # flag join, the admitted append)
+        mh = mh.persist()
+        try:
+            bands = band_rows(mh)
+
+            # ONE unified candidate frame — batch x batch (min-id-
+            # survivor orientation, status-blind) plus batch x store,
+            # tagged by origin.  No .distinct(): duplicate candidates
+            # (a pair sharing 2-3 band keys) are collapsed by the flag
+            # aggregation below, and every removed stage is a win — at
+            # bench scale the drain is stage-scheduling-bound (the
+            # round-9 profile: ~25 stages/batch at ~0.5 s each dwarfed
+            # the actual data work)
+            a, b = bands.alias("a"), bands.alias("b")
+            cand = (
+                a.join(
+                    b.hint("shuffle_hash"),
+                    (F.col("a.bkey") == F.col("b.bkey"))
+                    & (F.col("b.doc_id") < F.col("a.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("id_in"),
+                    F.col("b.doc_id").alias("id_ot"),
+                    F.lit(False).alias("ot_store"),
+                )
+            )
+            have_store = os.path.isdir(sketch_dir)
+            if have_store:
+                # the band table is DERIVED, not stored: band_rows is a
+                # pure projection of the signature words, and parquet
+                # column pruning makes the probe scan read only
+                # (doc_id, h0..h11) — the gset column is never touched
+                # until the candidate-id verification fetch.  One store
+                # table = one atomic append per batch.
+                store_sketch = sess.read.parquet(sketch_dir)
+                store_bands = band_rows(store_sketch)
+                cand_store = (
+                    store_bands.alias("s")
+                    .join(
+                        F.broadcast(bands.alias("p")),
+                        F.col("p.bkey") == F.col("s.bkey"),
+                    )
+                    .select(
+                        F.col("p.doc_id").alias("id_in"),
+                        F.col("s.doc_id").alias("id_ot"),
+                        F.lit(True).alias("ot_store"),
+                    )
+                )
+                cand = cand_store.unionByName(cand)
+
+            # candidate-id reduction on EVERY gset side: the verify join
+            # only needs the (few) candidate docs' gram sets — shuffling
+            # whole-batch or whole-store gset arrays instead dominated
+            # the sf10 drain (the gset payload is ~100x the id width).
+            # Store and batch doc_ids are disjoint, so the union other-
+            # side frame is unambiguous.
+            def _gsets(mh_side, need_ids, id_col, n_alias, g_alias):
+                need = need_ids.select(F.col(id_col).alias("doc_id")).distinct()
+                return mh_side.join(F.broadcast(need), "doc_id").select(
+                    F.col("doc_id").alias(id_col),
+                    F.col("n").alias(n_alias),
+                    F.col("gset").alias(g_alias),
+                )
+
+            in_g = _gsets(mh, cand.select("id_in"), "id_in", "n1", "gset1")
+            other_g = _gsets(
+                mh, cand.filter(~F.col("ot_store")).select("id_ot"), "id_ot", "n2", "gset2"
+            )
+            if have_store:
+                other_g = other_g.unionByName(
+                    _gsets(
+                        store_sketch,
+                        cand.filter(F.col("ot_store")).select("id_ot"),
+                        "id_ot",
+                        "n2",
+                        "gset2",
+                    )
+                )
+
+            # ONE verify pass over the unified candidates, ONE flag
+            # aggregation (which also dedupes band-collision repeats),
+            # ONE left join back to the batch
+            v = (
+                cand.join(in_g.hint("shuffle_hash"), "id_in")
+                .join(other_g.hint("shuffle_hash"), "id_ot")
+                .withColumn("shared", F.size(F.array_intersect("gset1", "gset2")))
+            )
+            jac = F.col("shared").cast("double") / (
+                F.col("n1") + F.col("n2") - F.col("shared")
+            ).cast("double")
+            nd = (
+                v.filter(jac >= 0.2)
+                .groupBy("id_in")
+                .agg(
+                    F.max(F.col("ot_store")).alias("__st__"),
+                    F.max(~F.col("ot_store")).alias("__ba__"),
+                )
+            )
+            flagged = mh.select("doc_id", "source").join(
+                nd, F.col("doc_id") == nd.id_in, "left"
+            ).drop("id_in")
+            # decide the split BEFORE appending (the run_upsert_dedup
+            # snapshot trap: the store must not be re-listed after the
+            # admitted rows land).  Only the SLIM (doc_id, flags) frame is
+            # checkpointed — materializing the gset-carrying sketch here
+            # doubled the drain cost; the admitted sketch rows are joined
+            # back from the persisted mh by id instead.
+            flagged = flagged.localCheckpoint()
+            st = F.coalesce(F.col("__st__"), F.lit(False))
+            ba = F.coalesce(F.col("__ba__"), F.lit(False))
+            admitted_ids = flagged.filter(~st & ~ba).select("doc_id")
+            admitted = mh.join(F.broadcast(admitted_ids), "doc_id")
+            admitted.write.mode("append").parquet(sketch_dir)
+            flagged.filter(st | ba).select(
+                "source",
+                "doc_id",
+                F.when(st, F.lit("store")).otherwise(F.lit("batch")).alias("reason"),
+            ).write.mode("append").parquet(audit_dir)
+        finally:
+            mh.unpersist()
+
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                scratch_dir(
+                    "spark_graft_lshingest_ckpt_",
+                    base="/dev/shm" if os.path.isdir("/dev/shm") else None,
+                ),
+            )
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)

@@ -168,8 +168,9 @@ HEADLINE = [
     "schema_evolution_roundtrip",
     "cv_scorer_fold_metrics",
     "jl_projection_quality",
-    # round-9 addition
+    # round-9 additions
     "dedup_incremental_neardup_ingest",
+    "stream_lsh_neardup_ingest",
 ]
 
 
